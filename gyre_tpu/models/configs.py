@@ -1,0 +1,167 @@
+"""Architecture configs for the Stable Diffusion model family.
+
+These mirror the hyperparameters the reference serves via diffusers model
+configs (reference gyre/manager.py DEFAULT_LIBRARIES / engines yamls); the
+implementations here are original JAX code, configured to be weight-loadable
+from the same safetensors checkpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    # which levels have cross-attention transformers (True) vs plain resnets
+    attn_levels: tuple[bool, ...] = (True, True, True, False)
+    transformer_layers: tuple[int, ...] = (1, 1, 1, 0)
+    num_heads: tuple[int, ...] = (8, 8, 8, 8)
+    cross_attention_dim: int = 768
+    time_embed_dim: int = 1280
+    norm_groups: int = 32
+    mid_attn: bool = True
+    mid_transformer_layers: int = 1
+    linear_projection: bool = False  # SD2/SDXL use linear proj_in/out
+    # SDXL "text_time" additional conditioning
+    addition_embed_dim: int = 0      # pooled-text dim (1280 for SDXL)
+    addition_time_dim: int = 0       # per-time_id sinusoid dim (256 for SDXL)
+    addition_time_ids: int = 0       # number of time_ids (6 for SDXL base)
+
+    @property
+    def levels(self) -> int:
+        return len(self.block_out_channels)
+
+    def head_dim(self, level: int) -> int:
+        return self.block_out_channels[level] // self.num_heads[level]
+
+
+@dataclass(frozen=True)
+class VAEConfig:
+    in_channels: int = 3
+    out_channels: int = 3
+    latent_channels: int = 4
+    block_out_channels: tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    norm_groups: int = 32
+    scaling_factor: float = 0.18215
+
+
+@dataclass(frozen=True)
+class CLIPTextConfig:
+    vocab_size: int = 49408
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 77
+    activation: str = "quick_gelu"  # "quick_gelu" (openai) | "gelu" (openclip)
+    projection_dim: int = 0         # >0: text_projection head (SDXL enc 2)
+    eos_token_id: int = 49407
+
+
+# ------------------------------------------------------------------ presets
+
+UNET_SD15 = UNetConfig()
+UNET_SD15_INPAINT = dataclasses.replace(UNET_SD15, in_channels=9)
+UNET_SD15_DEPTH = dataclasses.replace(UNET_SD15, in_channels=5)
+UNET_SD21 = dataclasses.replace(
+    UNET_SD15,
+    cross_attention_dim=1024,
+    num_heads=(5, 10, 20, 20),
+    linear_projection=True,
+)
+UNET_SD21_INPAINT = dataclasses.replace(UNET_SD21, in_channels=9)
+UNET_SDXL = UNetConfig(
+    block_out_channels=(320, 640, 1280),
+    attn_levels=(False, True, True),
+    transformer_layers=(0, 2, 10),
+    num_heads=(5, 10, 20),
+    cross_attention_dim=2048,
+    mid_transformer_layers=10,
+    linear_projection=True,
+    addition_embed_dim=1280,
+    addition_time_dim=256,
+    addition_time_ids=6,
+)
+UNET_SDXL_REFINER = dataclasses.replace(
+    UNET_SDXL,
+    block_out_channels=(384, 768, 1536, 1536),
+    attn_levels=(False, True, True, False),
+    transformer_layers=(0, 4, 4, 0),
+    num_heads=(6, 12, 24, 24),
+    cross_attention_dim=1280,
+    mid_transformer_layers=4,
+    addition_time_ids=5,
+    addition_embed_dim=1280,
+)
+# tiny config for tests — same topology as SD1.5, a fraction of the width
+UNET_TEST = UNetConfig(
+    block_out_channels=(32, 64, 128, 128),
+    num_heads=(4, 4, 4, 4),
+    cross_attention_dim=64,
+    time_embed_dim=128,
+    norm_groups=8,
+)
+
+VAE_SD = VAEConfig()
+VAE_SDXL = VAEConfig(scaling_factor=0.13025)
+VAE_TEST = VAEConfig(block_out_channels=(16, 32, 64, 64), norm_groups=8)
+
+CLIP_VIT_L = CLIPTextConfig()
+OPENCLIP_H = CLIPTextConfig(
+    hidden_size=1024, num_layers=24, num_heads=16,
+    intermediate_size=4096, activation="gelu",
+)
+OPENCLIP_BIGG = CLIPTextConfig(
+    hidden_size=1280, num_layers=32, num_heads=20,
+    intermediate_size=5120, activation="gelu", projection_dim=1280,
+)
+CLIP_TEST = CLIPTextConfig(
+    vocab_size=49408, hidden_size=64, num_layers=2, num_heads=4,
+    intermediate_size=128,
+)
+
+
+@dataclass(frozen=True)
+class ModelSetConfig:
+    """Everything needed to build one engine's model set."""
+    unet: UNetConfig = UNET_SD15
+    vae: VAEConfig = VAE_SD
+    text_encoders: tuple[CLIPTextConfig, ...] = (CLIP_VIT_L,)
+    # which hidden layer feeds the unet: -1 = final LN output,
+    # -2 = penultimate (SD2 convention)
+    clip_layer: int = -1
+    prediction_type: str = "epsilon"  # or "v_prediction"
+    sample_size: int = 64             # native latent size (64 -> 512px)
+
+
+SD15 = ModelSetConfig()
+SD15_INPAINT = dataclasses.replace(SD15, unet=UNET_SD15_INPAINT)
+SD21 = ModelSetConfig(
+    unet=UNET_SD21, text_encoders=(OPENCLIP_H,), clip_layer=-2,
+    prediction_type="v_prediction", sample_size=96,
+)
+SD21_BASE = dataclasses.replace(SD21, prediction_type="epsilon", sample_size=64)
+SDXL = ModelSetConfig(
+    unet=UNET_SDXL, vae=VAE_SDXL,
+    text_encoders=(CLIP_VIT_L, OPENCLIP_BIGG), clip_layer=-2,
+    sample_size=128,
+)
+SD_TEST = ModelSetConfig(
+    unet=UNET_TEST, vae=VAE_TEST, text_encoders=(CLIP_TEST,), sample_size=8,
+)
+
+PRESETS: dict[str, ModelSetConfig] = {
+    "sd15": SD15,
+    "sd15-inpaint": SD15_INPAINT,
+    "sd21": SD21,
+    "sd21-base": SD21_BASE,
+    "sdxl": SDXL,
+    "test": SD_TEST,
+}
