@@ -1,0 +1,166 @@
+"""Sampler correctness against an analytically solvable problem.
+
+For gaussian data x0 ~ N(0, s0^2 I) the ideal denoiser is
+E[x0 | x_sigma] = x_sigma * s0^2 / (s0^2 + sigma^2), and the probability-flow
+ODE has the closed-form solution x(0) = x(sigma_max) * s0 / sqrt(s0^2 +
+sigma_max^2). Deterministic samplers must converge to it; stochastic ones
+must preserve the stationary statistics. This pins the sampler math without
+any model weights.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gyre_tpu.pipeline import samplers as S
+from gyre_tpu.pipeline import schedule as sched
+from gyre_tpu.utils import rng
+
+S0 = 1.0
+SHAPE = (2, 8, 8, 4)
+
+
+def ideal_denoise(x, sigma):
+    sigma = jnp.asarray(sigma, x.dtype)
+    return x * (S0 ** 2) / (S0 ** 2 + sigma ** 2)
+
+
+def make_noise_fn(seed=0):
+    keys = rng.keys_for_seeds(np.arange(SHAPE[0]) + seed)
+
+    def noise_fn(i, tag):
+        return rng.batched_stream_normal(keys, tag, i, SHAPE[1:])
+
+    return noise_fn
+
+
+def analytic_final(x_init, sigma_max):
+    return x_init * S0 / np.sqrt(S0 ** 2 + sigma_max ** 2)
+
+
+SCHEDULE = sched.scaled_linear_schedule()
+
+
+def run_sampler(name, steps=50, karras=True, eta=None, churn=0.0):
+    sigmas_np = sched.build_sigmas(SCHEDULE, steps,
+                                   karras_rho=7.0 if karras else None)
+    sigmas = jnp.asarray(sigmas_np, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(42), SHAPE) * float(sigmas_np[0])
+    p = S.SamplerParams(eta=eta if eta is not None else 0.0, churn=churn)
+    out = S.sample(name, ideal_denoise, x, sigmas, make_noise_fn(), p)
+    expected = analytic_final(np.asarray(x), float(sigmas_np[0]))
+    return np.asarray(out), expected
+
+
+DETERMINISTIC = [
+    ("k_euler", 100, 0.05),
+    ("k_heun", 50, 0.01),
+    ("k_dpm_2", 50, 0.01),
+    ("k_lms", 50, 0.01),
+    ("k_dpmpp_2m", 50, 0.01),
+    ("dpmsolverpp_3order", 50, 0.01),
+    ("ddim", 100, 0.05),
+    ("dpmsolverpp_1order", 100, 0.05),
+    ("dpm_fast", 50, 0.01),
+]
+
+
+@pytest.mark.parametrize("name,steps,tol", DETERMINISTIC)
+def test_deterministic_samplers_solve_ode(name, steps, tol):
+    out, expected = run_sampler(name, steps=steps, eta=0.0)
+    err = np.abs(out - expected).max() / (np.abs(expected).max() + 1e-8)
+    assert err < tol, f"{name}: rel err {err}"
+
+
+STOCHASTIC = ["k_euler_ancestral", "k_dpm_2_ancestral",
+              "k_dpmpp_2s_ancestral", "k_dpmpp_sde", "ddpm"]
+
+
+@pytest.mark.parametrize("name", STOCHASTIC)
+def test_stochastic_samplers_preserve_statistics(name):
+    """With the ideal denoiser, ancestral sampling must end ~N(0, s0^2)."""
+    steps = 50
+    sigmas_np = sched.build_sigmas(SCHEDULE, steps, karras_rho=7.0)
+    sigmas = jnp.asarray(sigmas_np, jnp.float32)
+    shape = (64, 8, 8, 4)
+    x = jax.random.normal(jax.random.PRNGKey(1), shape) * float(sigmas_np[0])
+    keys = rng.keys_for_seeds(np.arange(shape[0]))
+
+    def noise_fn(i, tag):
+        return rng.batched_stream_normal(keys, tag, i, shape[1:])
+
+    out = S.sample(name, ideal_denoise, x, sigmas, noise_fn,
+                   S.SamplerParams(eta=1.0))
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    std = out.std()
+    assert 0.7 < std < 1.3, f"{name}: final std {std}"
+
+
+def test_dpm_adaptive_converges():
+    sigmas_np = sched.build_sigmas(SCHEDULE, 50, karras_rho=7.0)
+    sigmas = jnp.asarray(sigmas_np, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(3), SHAPE) * float(sigmas_np[0])
+    out = S.sample("dpm_adaptive", ideal_denoise, x, sigmas, make_noise_fn())
+    expected = analytic_final(np.asarray(x), float(sigmas_np[0]))
+    err = np.abs(np.asarray(out) - expected).max() / np.abs(expected).max()
+    assert err < 0.05
+
+
+def test_churn_still_converges():
+    """Churn makes the step stochastic: the result must stay finite, stay
+    correlated with the ODE solution, and keep sane statistics."""
+    out, expected = run_sampler("k_euler", steps=100, churn=0.4)
+    assert np.isfinite(out).all()
+    corr = np.corrcoef(out.ravel(), expected.ravel())[0, 1]
+    assert corr > 0.5
+    assert 0.5 < out.std() < 1.6
+
+
+def test_sampler_is_jittable_and_batch_independent():
+    steps = 20
+    sigmas = jnp.asarray(sched.build_sigmas(SCHEDULE, steps, karras_rho=7.0),
+                         jnp.float32)
+
+    def run(seeds):
+        keys = rng.keys_for_seeds(seeds)
+        x = rng.batched_stream_normal(keys, "init", 0, SHAPE[1:]) * sigmas[0]
+
+        def noise_fn(i, tag):
+            return rng.batched_stream_normal(keys, tag, i, SHAPE[1:])
+
+        return S.sample("k_euler_ancestral", ideal_denoise, x, sigmas,
+                        noise_fn, S.SamplerParams(eta=1.0))
+
+    batched = np.asarray(jax.jit(run)(jnp.array([5, 6])))
+    solo = np.asarray(jax.jit(run)(jnp.array([6])))
+    np.testing.assert_allclose(batched[1], solo[0], rtol=2e-5, atol=2e-5)
+
+
+def test_sigma_ramps():
+    s = sched.build_sigmas(SCHEDULE, 20)
+    assert s[-1] == 0 and len(s) == 21
+    assert np.all(np.diff(s) < 0)
+    k = sched.karras_ramp(0.03, 14.6, 20, rho=7.0)
+    assert k[-1] == 0 and np.all(np.diff(k[:-1]) < 0)
+    # img2img strength truncation
+    s2 = sched.build_sigmas(SCHEDULE, 20, strength=0.5)
+    assert len(s2) == 11
+    np.testing.assert_allclose(s2, s[10:])
+
+
+def test_sigma_to_t_roundtrip():
+    log_sigmas = jnp.asarray(SCHEDULE.log_sigmas, jnp.float32)
+    for t_ref in [10.0, 500.0, 999.0]:
+        sigma = sched.t_to_sigma_np(SCHEDULE, np.array([t_ref]))
+        t = sched.sigma_to_t(log_sigmas, jnp.asarray(sigma, jnp.float32))
+        np.testing.assert_allclose(np.asarray(t), [t_ref], atol=0.51)
+
+
+def test_proto_sampler_map_complete():
+    from gyre_tpu.generated import generation_pb2 as g
+
+    for name, value in g.DiffusionSampler.items():
+        assert value in S.PROTO_SAMPLERS, f"unmapped sampler {name}"
+        assert S.PROTO_SAMPLERS[value] in S.SAMPLERS
