@@ -1,0 +1,74 @@
+"""Benchmark: SD1.5 512x512, 20-step DPM++ 2M, CFG on — the driver's
+north-star metric (BASELINE.json: images/sec/chip + p50 latency).
+
+Weights are random-init (no model downloads in this environment) — identical
+architecture, shapes, and dtype to the real SD1.5, so throughput/latency are
+the true serving numbers.
+
+vs_baseline compares against A100 diffusers fp16 (the reference's typical
+deployment): SD1.5 512^2 runs ~20 it/s there -> ~1.0 s for 20 steps + VAE,
+i.e. ~1.0 images/sec (BASELINE.md north-star latency anchor).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import time
+
+A100_BASELINE_IMG_PER_SEC = 1.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gyre_tpu.models import configs
+    from gyre_tpu.models.modelset import random_modelset
+    from gyre_tpu.pipeline.unified import UnifiedPipeline
+
+    ms = random_modelset(configs.SD15, seed=0, dtype=jnp.bfloat16,
+                         engine_id="sd15-bench")
+    pipe = UnifiedPipeline(ms, compute_dtype=jnp.bfloat16)
+
+    kw = dict(prompt="a photograph of an astronaut riding a horse",
+              negative_prompt="blurry", height=512, width=512, steps=20,
+              sampler="k_dpmpp_2m", guidance_scale=7.5)
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    np.asarray(pipe(seeds=[0], **kw))
+    compile_s = time.perf_counter() - t0
+
+    # timed runs (single request, batch 1 — the p50 latency shape)
+    latencies = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        np.asarray(pipe(seeds=[i + 1], **kw))
+        latencies.append(time.perf_counter() - t0)
+    p50 = sorted(latencies)[len(latencies) // 2]
+
+    # throughput shape: batch 4 coalesced
+    np.asarray(pipe(seeds=[1, 2, 3, 4], **kw))  # compile
+    t0 = time.perf_counter()
+    runs = 3
+    for i in range(runs):
+        np.asarray(pipe(seeds=[i, i + 1, i + 2, i + 3], **kw))
+    batch_time = (time.perf_counter() - t0) / runs
+    throughput = 4.0 / batch_time
+
+    value = round(throughput, 4)
+    print(json.dumps({
+        "metric": "images/sec/chip (SD1.5 512^2, 20-step DPM++2M, CFG)",
+        "value": value,
+        "unit": "images/sec",
+        "vs_baseline": round(value / A100_BASELINE_IMG_PER_SEC, 4),
+        "p50_latency_s": round(p50, 4),
+        "batch1_latency_s": round(min(latencies), 4),
+        "compile_s": round(compile_s, 2),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

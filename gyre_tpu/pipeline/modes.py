@@ -1,0 +1,153 @@
+"""Generation modes: txt2img / img2img / inpaint as latent-state functions.
+
+The reference implements modes as classes producing initial latents and
+wrapping the unet per step (gyre/pipeline/unified_pipeline.py:155-696). Here
+a mode is two pure functions:
+
+  initial_latents(...) -> x at sigma_max          (sigma-space, x0 + sigma*eps)
+  wrap_denoise(denoise) -> denoise'               (per-step latent blending)
+
+which compose with any sampler. Inpaint blending keys its per-sigma noise off
+the sigma value itself (fold_in of the quantized log-sigma), so it works
+identically under every sampler without threading step indices through.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import rng as rngu
+
+
+def txt2img_initial(keys, shape, sigma_max, dtype=jnp.float32):
+    """Pure-noise initial latents at sigma_max. keys [B,2]."""
+    noise = rngu.batched_stream_normal(keys, "init", 0, shape, dtype)
+    return noise * sigma_max
+
+
+def img2img_initial(init_latents, keys, sigma_start, dtype=jnp.float32):
+    """x = x0 + sigma*eps at the (possibly truncated) start sigma."""
+    noise = rngu.batched_stream_normal(
+        keys, "init", 0, init_latents.shape[1:], dtype)
+    return init_latents.astype(dtype) + noise * sigma_start
+
+
+def masked_area_fill(init_latents, mask_keep, keys, mode: str = "random"):
+    """Reinitialize the to-be-generated area (reference MASKED_AREA_INIT_*,
+    gyre/pipeline/unified_pipeline.py:466-601 implements the fancier
+    shaped-noise variants; zero/random/original are the protocol modes).
+
+    mask_keep: [B,h,w,1], 1 = keep original pixels, 0 = generate.
+    """
+    if mode == "original":
+        return init_latents
+    if mode == "zero":
+        fill = jnp.zeros_like(init_latents)
+    elif mode == "random":
+        std = jnp.std(init_latents, axis=(1, 2, 3), keepdims=True)
+        mean = jnp.mean(init_latents, axis=(1, 2, 3), keepdims=True)
+        noise = rngu.batched_stream_normal(
+            keys, "mask_fill", 0, init_latents.shape[1:], init_latents.dtype)
+        fill = mean + noise * std
+    else:
+        raise ValueError(f"unknown masked_area_init {mode}")
+    return init_latents * mask_keep + fill * (1.0 - mask_keep)
+
+
+def shaped_noise_fill(init_latents, mask_keep, keys):
+    """Shaped-noise masked-area init: noise whose per-channel statistics are
+    matched to the unmasked region via FFT-convolving noise with the image
+    spectrum (the reference's default 'shaped' fill, reference
+    gyre/pipeline/unified_pipeline.py:466-601, here done as a frequency-
+    domain colorization — a TPU-friendly O(n log n) formulation)."""
+    b, h, w, c = init_latents.shape
+    noise = rngu.batched_stream_normal(keys, "shaped_fill", 0, (h, w, c),
+                                       jnp.float32)
+    lat = init_latents.astype(jnp.float32)
+    spec = jnp.fft.rfft2(lat, axes=(1, 2))
+    nspec = jnp.fft.rfft2(noise, axes=(1, 2))
+    phase = nspec / jnp.maximum(jnp.abs(nspec), 1e-8)
+    shaped = jnp.fft.irfft2(jnp.abs(spec) * phase, s=(h, w), axes=(1, 2))
+    # renormalize to the unmasked region's statistics
+    keep = mask_keep.astype(jnp.float32)
+    denom = jnp.maximum(keep.sum(axis=(1, 2, 3), keepdims=True), 1.0)
+    mean = (lat * keep).sum(axis=(1, 2, 3), keepdims=True) / denom
+    var = ((lat - mean) ** 2 * keep).sum(axis=(1, 2, 3), keepdims=True) / denom
+    smean = shaped.mean(axis=(1, 2, 3), keepdims=True)
+    sstd = shaped.std(axis=(1, 2, 3), keepdims=True) + 1e-8
+    shaped = (shaped - smean) / sstd * jnp.sqrt(var) + mean
+    out = lat * keep + shaped * (1.0 - keep)
+    return out.astype(init_latents.dtype)
+
+
+def make_inpaint_blend(init_latents, mask_keep, sigma_max, sigma_min):
+    """Per-step x0 blend for 4-channel inpainting.
+
+    The denoiser's predicted x0 is blended with the *clean* original
+    latents: pixels with mask_keep > u stay pinned to the original and the
+    sampler re-noises them through its own update equations — the
+    reference's k-space semantics (latent_blend_mask.gt(u) applied to PX0,
+    gyre/pipeline/unified_pipeline.py:620-632), which compose with every
+    sigma-space sampler. u (schedule progress 0..1) is derived from sigma in
+    log space so no step index threading is needed.
+
+    Returns wrap(denoise) and final_blend(x0) for the loop's tail.
+    """
+    log_max = jnp.log(sigma_max)
+    log_min = jnp.log(jnp.maximum(sigma_min, 1e-4))
+
+    def progress(sigma):
+        u = (log_max - jnp.log(jnp.maximum(sigma, 1e-6))) / \
+            jnp.maximum(log_max - log_min, 1e-6)
+        return jnp.clip(u, 0.0, 1.0)
+
+    def wrap(denoise):
+        def wrapped(x, sigma):
+            x0 = denoise(x, sigma)
+            pin = (mask_keep > progress(sigma)).astype(x0.dtype)
+            return init_latents.astype(x0.dtype) * pin + x0 * (1.0 - pin)
+
+        return wrapped
+
+    def final_blend(x0):
+        pin = (mask_keep >= 1.0).astype(x0.dtype)
+        return init_latents.astype(x0.dtype) * pin + x0 * (1.0 - pin)
+
+    return wrap, final_blend
+
+
+def make_inpaint9_inputs(mask_keep, masked_image_latents):
+    """Extra-channel builder for the 9-channel runway inpaint unet: the
+    model consumes [x(4) | mask(1) | masked_latents(4)], with the extra
+    channels NOT sigma-scaled (reference EnhancedRunwayInpaintMode,
+    gyre/pipeline/unified_pipeline.py:648-696)."""
+    mask_gen = 1.0 - mask_keep  # runway convention: 1 = regenerate
+
+    def wrap_model(model_fn):
+        def wrapped(x, t, context, **kw):
+            b = x.shape[0]
+            reps = b // mask_gen.shape[0]
+            m = jnp.tile(mask_gen, (reps, 1, 1, 1)).astype(x.dtype)
+            ml = jnp.tile(masked_image_latents, (reps, 1, 1, 1)).astype(x.dtype)
+            x9 = jnp.concatenate([x, m, ml], axis=-1)
+            return model_fn(x9, t, context, **kw)
+
+        return wrapped
+
+    return wrap_model
+
+
+def make_extra_channels_wrapper(extra: jnp.ndarray):
+    """Generic unscaled channel concat (depth2img's 5th channel; reference
+    UnetWithExtraChannels, gyre/pipeline/unet/core.py)."""
+
+    def wrap_model(model_fn):
+        def wrapped(x, t, context, **kw):
+            reps = x.shape[0] // extra.shape[0]
+            e = jnp.tile(extra, (reps, 1, 1, 1)).astype(x.dtype)
+            return model_fn(jnp.concatenate([x, e], axis=-1), t, context, **kw)
+
+        return wrapped
+
+    return wrap_model

@@ -1,0 +1,340 @@
+"""UnifiedPipeline: the generation engine.
+
+The TPU-native re-design of the reference's UnifiedPipeline
+(gyre/pipeline/unified_pipeline.py:1722-2538): instead of an object graph of
+unet wrappers invoked per step from python, the whole denoise loop — CFG,
+mode blending, sampler update — is composed functionally and compiled into
+ONE XLA program per static signature (batch, size, sampler, steps, mode,
+prompt-chunk count). Dynamic values (sigmas, contexts, seeds, guidance
+scale) are traced arguments, so e.g. changing cfg_scale or seed never
+recompiles.
+
+Text encode and VAE encode/decode are their own cached jits (they're
+per-request, not per-step).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import clip as clip_mod
+from ..models import unet as unet_mod
+from ..models import vae as vae_mod
+from ..utils import rng as rngu
+from . import denoiser, modes, prompts, samplers
+from . import schedule as sched
+
+
+@dataclass(frozen=True)
+class StaticSpec:
+    """Everything that shapes the compiled program. Hashable = jit key."""
+
+    batch: int
+    height: int          # latent height
+    width: int           # latent width
+    sampler: str
+    steps: int           # len(sigmas) - 1
+    mode: str            # txt2img | img2img | inpaint | inpaint9
+    guided: bool
+    chunks: int          # prompt chunks (context length = chunks*75+2)
+    eta: float
+    churn: float
+    churn_tmin: float
+    churn_tmax: float
+    tiling: tuple        # (tiling_x, tiling_y)
+    cfg_parallel: bool = True
+
+
+class UnifiedPipeline:
+    """Bundles one engine's models and serves generation requests."""
+
+    def __init__(self, modelset, compute_dtype=jnp.bfloat16):
+        self.ms = modelset
+        self.compute_dtype = compute_dtype
+        self._core_cache: dict = {}
+        self._fn_cache: dict = {}
+
+    # ------------------------------------------------------------- helpers
+
+    @property
+    def schedule(self) -> sched.DiffusionSchedule:
+        return self.ms.schedule
+
+    def _encode_ids_fn(self, tower_idx: int, clip_layer: int):
+        key = ("encode_ids", tower_idx, clip_layer)
+        if key not in self._fn_cache:
+            te_params = self.ms.text_params[tower_idx]
+            te_cfg = self.ms.config.text_encoders[tower_idx]
+
+            @jax.jit
+            def run(params, ids):
+                out = clip_mod.apply(params, te_cfg, ids)
+                return clip_mod.hidden_for_layer(params, te_cfg, out,
+                                                 clip_layer)
+
+            self._fn_cache[key] = lambda ids: run(te_params, ids)
+        return self._fn_cache[key]
+
+    def encode_prompt(self, prompt: prompts.WeightedPrompt,
+                      pad_to_chunks: int = 0, tower_idx: int = 0,
+                      clip_layer: int | None = None) -> jnp.ndarray:
+        layer = clip_layer if clip_layer is not None else self.ms.config.clip_layer
+        return prompts.encode_weighted_prompt(
+            self._encode_ids_fn(tower_idx, layer), self.ms.tokenizer, prompt,
+            pad_to_chunks=pad_to_chunks)
+
+    def chunk_count(self, *prompt_texts: str) -> int:
+        n = 1
+        for text in prompt_texts:
+            if not text:
+                continue
+            p = prompts.WeightedPrompt.parse(text)
+            _, _, c = prompts.tokenize_weighted(self.ms.tokenizer, p)
+            n = max(n, c)
+        return n
+
+    def vae_encode(self, images: jnp.ndarray, keys) -> jnp.ndarray:
+        """images [B,H,W,3] in [0,1] -> scaled latents (sampled posterior)."""
+        key = ("vae_encode", images.shape)
+        if key not in self._fn_cache:
+            cfg = self.ms.config.vae
+
+            @jax.jit
+            def run(params, img, keys):
+                x = (img.astype(self.compute_dtype) * 2.0 - 1.0)
+                mean, logvar = vae_mod.encode(params, cfg, x)
+                noise = rngu.batched_stream_normal(
+                    keys, "vae", 0, mean.shape[1:], mean.dtype)
+                z = vae_mod.sample_posterior(mean, logvar, noise)
+                return (z * cfg.scaling_factor).astype(jnp.float32)
+
+            self._fn_cache[key] = run
+        return self._fn_cache[key](self.ms.vae_params, images, keys)
+
+    def vae_decode(self, latents: jnp.ndarray) -> jnp.ndarray:
+        """scaled latents -> images [B,H,W,3] in [0,1]."""
+        key = ("vae_decode", latents.shape)
+        if key not in self._fn_cache:
+            cfg = self.ms.config.vae
+
+            @jax.jit
+            def run(params, z):
+                z = (z / cfg.scaling_factor).astype(self.compute_dtype)
+                img = vae_mod.decode(params, cfg, z)
+                return jnp.clip(img.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+
+            self._fn_cache[key] = run
+        return self._fn_cache[key](self.ms.vae_params, latents)
+
+    # ---------------------------------------------------------------- core
+
+    def _build_core(self, spec: StaticSpec):
+        """Compile the full denoise loop for one static signature."""
+        unet_cfg = self.ms.config.unet
+        schedule = self.schedule
+        cdt = self.compute_dtype
+
+        def raw_unet(params, x, t, context, **kw):
+            out = unet_mod.apply(params, unet_cfg, x.astype(cdt), t,
+                                 context.astype(cdt),
+                                 tiling=spec.tiling, **kw)
+            return out.astype(jnp.float32)
+
+        p = samplers.SamplerParams(
+            eta=spec.eta, churn=spec.churn, churn_tmin=spec.churn_tmin,
+            churn_tmax=spec.churn_tmax or float("inf"))
+
+        @jax.jit
+        def core(unet_params, sigmas, keys, ctx_u, ctx_g, cfg_scale,
+                 init_latents, mask_keep, extra_channels):
+            shape = (spec.height, spec.width, unet_cfg.out_channels)
+            sigma_start = sigmas[0]
+
+            model_fn = partial(raw_unet, unet_params)
+            if spec.mode == "inpaint9":
+                wrapm = modes.make_inpaint9_inputs(mask_keep, extra_channels)
+                model_fn = wrapm(model_fn)
+            elif extra_channels is not None and spec.mode == "depth2img":
+                model_fn = modes.make_extra_channels_wrapper(extra_channels)(
+                    model_fn)
+
+            if spec.guided:
+                model = denoiser.cfg_model(model_fn, ctx_u, ctx_g, cfg_scale,
+                                           parallel=spec.cfg_parallel)
+            else:
+                model = denoiser.plain_model(model_fn, ctx_g)
+
+            dn = denoiser.make_denoiser(model, schedule)
+
+            final_blend = None
+            if spec.mode == "inpaint":
+                wrap, final_blend = modes.make_inpaint_blend(
+                    init_latents, mask_keep, sigmas[0],
+                    jnp.maximum(sigmas[-2], 1e-3))
+                dn = wrap(dn)
+
+            if spec.mode == "txt2img":
+                x = modes.txt2img_initial(keys, shape, sigma_start)
+            else:
+                x = modes.img2img_initial(init_latents, keys, sigma_start)
+
+            def noise_fn(i, tag):
+                return rngu.batched_stream_normal(keys, tag, i, shape)
+
+            x0 = samplers.sample(spec.sampler, dn, x, sigmas, noise_fn, p)
+            if final_blend is not None:
+                x0 = final_blend(x0)
+            return x0
+
+        return core
+
+    def core(self, spec: StaticSpec):
+        if spec not in self._core_cache:
+            self._core_cache[spec] = self._build_core(spec)
+        return self._core_cache[spec]
+
+    # ------------------------------------------------------------ generate
+
+    def __call__(self, *,
+                 prompt: str = "",
+                 negative_prompt: str = "",
+                 height: int = 512,
+                 width: int = 512,
+                 steps: int = 50,
+                 sampler: str = "k_dpmpp_2m",
+                 seeds=None,
+                 num_samples: int = 1,
+                 guidance_scale: float = 7.5,
+                 init_image=None,          # [B,H,W,3] float 0..1
+                 mask_image=None,          # [B,H,W,1] float, 1 = REGENERATE
+                 strength: float = 0.8,
+                 eta: float | None = None,
+                 churn: float = 0.0,
+                 churn_tmin: float = 0.0,
+                 churn_tmax: float = 0.0,
+                 karras_rho: float | None = None,
+                 sigma_min: float | None = None,
+                 sigma_max: float | None = None,
+                 masked_area_init: str = "shaped",
+                 tiling: bool | str = False,
+                 return_latents: bool = False):
+        """Run generation; returns images [B,H,W,3] float32 in [0,1].
+
+        mask convention: the proto/reference mask is white=regenerate
+        (gyre/services/generate.py mask handling); internally we keep
+        mask_keep = 1-mask.
+        """
+        ms = self.ms
+        factor = 8
+        lh, lw = height // factor, width // factor
+
+        if seeds is None:
+            seeds = list(range(num_samples))
+        batch = len(seeds)
+        keys = rngu.keys_for_seeds(np.asarray(seeds, np.uint32))
+
+        mode = "txt2img"
+        if init_image is not None:
+            mode = "img2img"
+        if mask_image is not None:
+            mode = "inpaint9" if ms.config.unet.in_channels == 9 else "inpaint"
+
+        # default eta: ancestral k-samplers expect 1, ddim defaults 0
+        if eta is None:
+            eta = 1.0 if ("ancestral" in sampler or "sde" in sampler
+                          or sampler == "ddpm") else 0.0
+
+        full_strength = mode == "txt2img" or (
+            mask_image is not None and strength >= 1.0)
+        sigmas_np = sched.build_sigmas(
+            self.schedule, steps,
+            strength=1.0 if full_strength else min(strength, 1.0),
+            karras_rho=karras_rho, sigma_min=sigma_min, sigma_max=sigma_max)
+        sigmas = jnp.asarray(sigmas_np, jnp.float32)
+
+        chunks = self.chunk_count(prompt, negative_prompt)
+        guided = guidance_scale > 1.0
+
+        ctx_g = self.encode_prompt(prompts.WeightedPrompt.parse(prompt or ""),
+                                   pad_to_chunks=chunks)
+        ctx_g = jnp.tile(ctx_g[None], (batch, 1, 1))
+        if guided:
+            ctx_u = self.encode_prompt(
+                prompts.WeightedPrompt.parse(negative_prompt or ""),
+                pad_to_chunks=chunks)
+            ctx_u = jnp.tile(ctx_u[None], (batch, 1, 1))
+        else:
+            ctx_u = ctx_g
+
+        init_latents = jnp.zeros((batch, lh, lw, 4), jnp.float32)
+        mask_keep = jnp.ones((batch, lh, lw, 1), jnp.float32)
+        extra = None
+
+        if init_image is not None:
+            init_latents = self.vae_encode(jnp.asarray(init_image), keys)
+
+        if mask_image is not None:
+            # latent-resolution mask via box downscale (the reference's
+            # mask pyramid seed, gyre/pipeline/unified_pipeline.py:340-373)
+            m = jnp.asarray(mask_image, jnp.float32)
+            m = m.reshape(batch, lh, factor, lw, factor, -1).mean((2, 4))
+            m = m[..., :1]
+            mask_keep = 1.0 - m
+            if mode == "inpaint":
+                if strength >= 1.0 and masked_area_init == "shaped":
+                    init_latents = modes.shaped_noise_fill(
+                        init_latents, (mask_keep > 0.5).astype(jnp.float32),
+                        keys)
+                elif masked_area_init in ("zero", "random"):
+                    init_latents = modes.masked_area_fill(
+                        init_latents, (mask_keep > 0.5).astype(jnp.float32),
+                        keys, masked_area_init)
+            else:  # inpaint9: masked image latents as extra channels
+                hard_keep = (mask_keep > 0.5).astype(jnp.float32)
+                masked_img = jnp.asarray(init_image) * \
+                    jax.image.resize(hard_keep, (batch, height, width, 1),
+                                     "nearest")
+                extra = self.vae_encode(masked_img, keys)
+                mk8 = hard_keep
+                mask_keep = mk8
+                # 9-channel inpaint diffuses the full canvas from noise
+                init_latents = self.vae_encode(jnp.asarray(init_image), keys)
+
+        if isinstance(tiling, str):
+            tiling_xy = (tiling in ("x", "xy", "both", "true"),
+                         tiling in ("y", "xy", "both", "true"))
+        else:
+            tiling_xy = (bool(tiling), bool(tiling))
+
+        spec = StaticSpec(
+            batch=batch, height=lh, width=lw, sampler=sampler,
+            steps=len(sigmas_np) - 1, mode=mode, guided=guided,
+            chunks=chunks, eta=float(eta), churn=float(churn),
+            churn_tmin=float(churn_tmin),
+            churn_tmax=float(churn_tmax) if churn_tmax else float("inf"),
+            tiling=tiling_xy)
+
+        x0 = self.core(spec)(
+            self.ms.unet_params, sigmas, keys, ctx_u, ctx_g,
+            jnp.float32(guidance_scale), init_latents, mask_keep,
+            extra if extra is not None
+            else jnp.zeros((batch, lh, lw, 4), jnp.float32))
+
+        if return_latents:
+            return x0
+        images = self.vae_decode(x0)
+
+        # image-space outmask composite for inpaint (full outmask histogram
+        # blending lands with ops/images)
+        if mask_image is not None and init_image is not None:
+            mk = jax.image.resize(mask_keep, (batch, height, width, 1),
+                                  "bilinear")
+            hard = (mk >= 1.0).astype(jnp.float32)
+            images = jnp.asarray(init_image) * hard + images * (1 - hard)
+        return images

@@ -1,0 +1,112 @@
+"""End-to-end UnifiedPipeline tests on a tiny random modelset.
+
+Mirrors the reference's request-level golden harness intent
+(tests/happy_path.py, batch_independance.py) at unit scale: full
+txt2img/img2img/inpaint verticals, seed stability, batch independence.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gyre_tpu.models import configs
+from gyre_tpu.models.modelset import random_modelset
+from gyre_tpu.pipeline.unified import UnifiedPipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    ms = random_modelset(configs.SD_TEST, seed=0, dtype=jnp.float32)
+    return UnifiedPipeline(ms, compute_dtype=jnp.float32)
+
+
+SIZE = 64  # pixels -> 8x8 latents
+
+
+def test_txt2img_end_to_end(pipe):
+    img = pipe(prompt="a photo of a cat", negative_prompt="ugly",
+               height=SIZE, width=SIZE, steps=4, sampler="k_euler",
+               seeds=[420], guidance_scale=7.5)
+    img = np.asarray(img)
+    assert img.shape == (1, SIZE, SIZE, 3)
+    assert np.isfinite(img).all()
+    assert 0.0 <= img.min() and img.max() <= 1.0
+
+
+def test_seed_stability(pipe):
+    kw = dict(prompt="cat", height=SIZE, width=SIZE, steps=3,
+              sampler="k_euler_ancestral", guidance_scale=7.5)
+    a = np.asarray(pipe(seeds=[7], **kw))
+    b = np.asarray(pipe(seeds=[7], **kw))
+    c = np.asarray(pipe(seeds=[8], **kw))
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 1e-4
+
+
+def test_batch_independence(pipe):
+    """Same seeds -> same images regardless of batch packing (the
+    reference's tests/batch_independance.py contract).
+
+    Strong form: for a fixed batch shape, packing order is bit-exact.
+    Across different batch shapes XLA compiles different programs, so
+    equality is float-tolerance (~1e-5 relative on latents; amplified
+    here by an intentionally ill-conditioned random-weight VAE)."""
+    kw = dict(prompt="a dog", height=SIZE, width=SIZE, steps=3,
+              sampler="k_euler_ancestral", guidance_scale=7.5)
+    pair = np.asarray(pipe(seeds=[3, 4], **kw))
+    swapped = np.asarray(pipe(seeds=[4, 3], **kw))
+    np.testing.assert_array_equal(pair[0], swapped[1])
+    np.testing.assert_array_equal(pair[1], swapped[0])
+
+    batched = np.asarray(pipe(seeds=[1, 2, 3, 4], **kw))
+    solo = np.asarray(pipe(seeds=[2], **kw))
+    np.testing.assert_allclose(batched[2], pair[0], atol=0.02)
+    np.testing.assert_allclose(batched[1], solo[0], atol=0.02)
+
+
+def test_img2img(pipe):
+    init = np.tile(np.linspace(0, 1, SIZE, dtype=np.float32)[None, :, None],
+                   (SIZE, 1, 3))[None]
+    img = pipe(prompt="cat", height=SIZE, width=SIZE, steps=4,
+               sampler="k_dpmpp_2m", seeds=[5], init_image=init,
+               strength=0.5, guidance_scale=7.5)
+    assert np.asarray(img).shape == (1, SIZE, SIZE, 3)
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_inpaint_preserves_unmasked(pipe):
+    init = np.full((1, SIZE, SIZE, 3), 0.5, np.float32)
+    mask = np.zeros((1, SIZE, SIZE, 1), np.float32)
+    mask[:, :SIZE // 2] = 1.0  # regenerate top half
+    img = np.asarray(pipe(prompt="cat", height=SIZE, width=SIZE, steps=4,
+                          sampler="k_euler", seeds=[9], init_image=init,
+                          mask_image=mask, strength=1.0,
+                          guidance_scale=7.5))
+    # kept area away from the soft mask seam must be exactly the init image
+    np.testing.assert_allclose(img[0, SIZE * 3 // 4:], 0.5, atol=1e-3)
+    # regenerated area must differ from the flat 0.5 init
+    assert np.abs(img[0, :SIZE // 4] - 0.5).max() > 0.01
+
+
+def test_long_weighted_prompt(pipe):
+    long_prompt = "a (majestic:1.3) " + " ".join(
+        f"word{i}" for i in range(100))
+    img = pipe(prompt=long_prompt, height=SIZE, width=SIZE, steps=2,
+               sampler="ddim", seeds=[1], guidance_scale=7.5)
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_no_guidance_path(pipe):
+    img = pipe(prompt="cat", height=SIZE, width=SIZE, steps=2,
+               sampler="k_euler", seeds=[1], guidance_scale=1.0)
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_compile_cache_reuse(pipe):
+    kw = dict(prompt="x", height=SIZE, width=SIZE, steps=3,
+              sampler="k_euler", guidance_scale=7.5)
+    pipe(seeds=[1], **kw)
+    n = len(pipe._core_cache)
+    pipe(seeds=[2], **kw)          # same spec, new seed
+    pipe(seeds=[3], **kw)
+    assert len(pipe._core_cache) == n
