@@ -1,0 +1,204 @@
+"""EngineManager: model-set construction, engine registry, mesh scheduling.
+
+The TPU-native re-design of the reference's EngineManager
+(gyre/manager.py:597-2139). Key differences by design:
+
+  * The per-GPU DeviceQueueSlot pool (reference :640-651, :2081-2139)
+    becomes ONE dispatcher per jax Mesh: weights live on the mesh
+    permanently (sharded by parallel/mesh.py), requests are serialized
+    through a lock today and coalesced into shared compiled steps by the
+    scheduler (scheduler.py) — no activate/deactivate device shuffling,
+    because sharded HBM residency replaces swapping.
+  * Model loading is functional: a ModelSet is built once per engine from
+    safetensors / presets / random-init; LoRA/TI/mixes are weight-tree
+    transforms, not runtime hooks.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax.numpy as jnp
+
+from ..models import configs
+from ..models.modelset import ModelSet, random_modelset
+from ..pipeline.unified import UnifiedPipeline
+from . import engines_yaml
+
+logger = logging.getLogger(__name__)
+
+TASK_GROUPS = {
+    "generate": "GENERATE",
+    "upscaler": "UPSCALE",
+    "upscale": "UPSCALE",
+    "util": "UTILITY",
+    "utility": "UTILITY",
+    "hinter": "HINTER",
+    "depth": "HINTER",
+}
+
+
+@dataclass
+class EngineSpec:
+    id: str
+    name: str = ""
+    description: str = ""
+    enabled: bool = True
+    visible: bool = True
+    default: bool = False
+    task: str = "generate"
+    model: str | dict | None = None     # preset name / weights path / dict
+    options: dict = field(default_factory=dict)
+    params: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "EngineSpec":
+        return cls(
+            id=d.get("id", ""),
+            name=d.get("name", d.get("id", "")),
+            description=d.get("description", ""),
+            enabled=bool(d.get("enabled", True)),
+            visible=bool(d.get("visible", True)),
+            default=bool(d.get("default", False)),
+            task=str(d.get("task", d.get("class", "generate"))).lower(),
+            model=d.get("model"),
+            options=d.get("options") or {},
+            params={k: v for k, v in d.items()
+                    if k not in ("id", "name", "description", "enabled",
+                                 "visible", "default", "task", "model",
+                                 "options")},
+        )
+
+
+class EngineNotFoundError(KeyError):
+    pass
+
+
+class EngineManager:
+    """Loads engines, owns the mesh executor, hands out pipelines."""
+
+    def __init__(self, engine_specs: list[dict] | list[EngineSpec],
+                 mesh=None, compute_dtype=jnp.bfloat16, batch_max: int = 4):
+        self.specs: list[EngineSpec] = [
+            s if isinstance(s, EngineSpec) else EngineSpec.from_dict(s)
+            for s in engine_specs
+            if isinstance(s, (EngineSpec, dict)) and
+            (isinstance(s, EngineSpec) or s.get("id"))
+        ]
+        self.mesh = mesh
+        self.compute_dtype = compute_dtype
+        self.batch_max = batch_max
+        self._modelsets: dict[str, ModelSet] = {}
+        self._pipelines: dict[str, UnifiedPipeline] = {}
+        # one dispatcher lock per mesh: gRPC threads never touch the TPU
+        # concurrently (reference used a blocking device queue instead)
+        self._dispatch_lock = threading.RLock()
+        self._loaded = False
+
+    # ------------------------------------------------------------ loading
+
+    def load_engines(self):
+        """Build every enabled engine's ModelSet (reference loadPipelines,
+        gyre/manager.py:1821-1854)."""
+        for spec in self.specs:
+            if not spec.enabled or spec.task not in ("generate",):
+                continue
+            if spec.id in self._modelsets:
+                continue
+            self._modelsets[spec.id] = self._build_modelset(spec)
+            logger.info("engine %s loaded (%.1f MB params)", spec.id,
+                        self._modelsets[spec.id].param_bytes() / 1e6)
+        self._loaded = True
+
+    loadPipelines = load_engines  # reference-compatible alias
+
+    def _build_modelset(self, spec: EngineSpec) -> ModelSet:
+        model = spec.model
+        if isinstance(model, dict):
+            path = model.get("path")
+            preset = model.get("preset", "sd15")
+            seed = int(model.get("seed", 0))
+        elif isinstance(model, str) and model.startswith("preset/"):
+            path, preset, seed = None, model.split("/", 1)[1], 0
+        elif isinstance(model, str) and model:
+            path, preset, seed = model, "sd15", 0
+        else:
+            path, preset, seed = None, "sd15", 0
+
+        cfg = configs.PRESETS.get(preset)
+        if cfg is None:
+            raise ValueError(f"engine {spec.id}: unknown preset {preset!r}")
+
+        if path:
+            from ..models.load import load_modelset
+
+            ms = load_modelset(path, cfg, dtype=self.compute_dtype,
+                               engine_id=spec.id)
+        else:
+            ms = random_modelset(cfg, seed=seed, dtype=self.compute_dtype,
+                                 engine_id=spec.id)
+        if self.mesh is not None:
+            from ..parallel import mesh as pmesh
+
+            ms = pmesh.shard_modelset(ms, self.mesh)
+        return ms
+
+    # ------------------------------------------------------------- access
+
+    @property
+    def engine_ids(self) -> list[str]:
+        return [s.id for s in self.specs if s.enabled]
+
+    def spec(self, engine_id: str) -> EngineSpec:
+        for s in self.specs:
+            if s.id == engine_id:
+                return s
+        raise EngineNotFoundError(engine_id)
+
+    def default_engine_id(self) -> str | None:
+        for s in self.specs:
+            if s.enabled and s.default:
+                return s.id
+        return self.engine_ids[0] if self.engine_ids else None
+
+    def pipeline(self, engine_id: str) -> UnifiedPipeline:
+        if engine_id not in self._pipelines:
+            if engine_id not in self._modelsets:
+                spec = self.spec(engine_id)
+                if not spec.enabled:
+                    raise EngineNotFoundError(engine_id)
+                self._modelsets[engine_id] = self._build_modelset(spec)
+            self._pipelines[engine_id] = UnifiedPipeline(
+                self._modelsets[engine_id], compute_dtype=self.compute_dtype)
+        return self._pipelines[engine_id]
+
+    @contextmanager
+    def with_engine(self, engine_id: str | None = None, task: str = "generate"):
+        """Borrow an engine for one request (reference gyre/manager.py:2081).
+
+        On TPU this is a dispatch-serialization scope, not a device claim:
+        weights are already resident on the mesh."""
+        if not engine_id:
+            engine_id = self.default_engine_id()
+        pipe = self.pipeline(engine_id)
+        with self._dispatch_lock:
+            yield pipe
+
+    def status(self) -> list[dict]:
+        return [
+            {"id": s.id, "name": s.name, "task": s.task,
+             "ready": s.id in self._modelsets or not self._loaded,
+             "enabled": s.enabled, "default": s.default,
+             "visible": s.visible}
+            for s in self.specs
+        ]
+
+
+def manager_from_yaml(path: str, flags: dict | None = None,
+                      **kwargs) -> EngineManager:
+    entries = engines_yaml.load(path, flags or {})
+    return EngineManager(entries, **kwargs)

@@ -40,20 +40,79 @@ class ModelSet:
         return total
 
 
+def _host_random_like(init_fn, key, seed: int, dtype):
+    """Build a params tree host-side with numpy (one device transfer per
+    leaf instead of one TPU dispatch per random op — init of SD1.5 on a
+    tunneled TPU takes minutes otherwise)."""
+    shapes = jax.eval_shape(init_fn, key)
+    rs = np.random.RandomState(seed & 0x7FFFFFFF)
+    leaves, treedef = jax.tree.flatten(shapes)
+    out = []
+    import numpy as np_mod
+
+    for leaf in leaves:
+        n = int(np_mod.prod(leaf.shape)) if leaf.shape else 1
+        fan = leaf.shape[0] if leaf.ndim >= 1 else 1
+        scale = 0.02 if leaf.ndim >= 2 else 0.0
+        if scale:
+            arr = rs.standard_normal(n).astype(np_mod.float32) * \
+                (1.0 / max(fan, 1)) ** 0.5
+        else:
+            # 1-D params: norm scales init to 1, biases to 0 — match by name
+            arr = np_mod.zeros(n, np_mod.float32)
+        out.append(jnp.asarray(arr.reshape(leaf.shape), dtype))
+    return jax.tree.unflatten(treedef, out)
+
+
+import numpy as np  # noqa: E402
+
+
 def random_modelset(cfg: configs.ModelSetConfig, seed: int = 0,
-                    dtype=jnp.bfloat16, engine_id: str = "random") -> ModelSet:
+                    dtype=jnp.bfloat16, engine_id: str = "random",
+                    fast_init: bool = True) -> ModelSet:
     """Architecture-faithful random weights: exercises the full pipeline and
-    gives true performance numbers without downloaded checkpoints."""
+    gives true performance numbers without downloaded checkpoints.
+
+    fast_init=True builds weights host-side (numpy) with matching shapes;
+    norm scales init to 1 via a post-pass so activations stay finite."""
     key = jax.random.PRNGKey(seed)
     k_unet, k_vae, *k_tes = jax.random.split(key, 2 + len(cfg.text_encoders))
     schedule = sched.scaled_linear_schedule(
         prediction_type=cfg.prediction_type)
+
+    if fast_init:
+        def fix_norms(tree):
+            # norm {scale} leaves must be 1.0
+            def walk(node):
+                if isinstance(node, dict):
+                    if set(node) == {"scale", "bias"}:
+                        return {"scale": jnp.ones_like(node["scale"]),
+                                "bias": node["bias"]}
+                    return {k: walk(v) for k, v in node.items()}
+                if isinstance(node, list):
+                    return [walk(v) for v in node]
+                return node
+
+            return walk(tree)
+
+        unet_params = fix_norms(_host_random_like(
+            lambda k: unet_mod.init(k, cfg.unet, dtype), k_unet, seed, dtype))
+        vae_params = fix_norms(_host_random_like(
+            lambda k: vae_mod.init(k, cfg.vae, dtype), k_vae, seed + 1, dtype))
+        text_params = [fix_norms(_host_random_like(
+            lambda k, te=te: clip_mod.init(k, te, dtype), k, seed + 2 + i,
+            dtype)) for i, (k, te) in enumerate(zip(k_tes, cfg.text_encoders))]
+    else:
+        unet_params = unet_mod.init(k_unet, cfg.unet, dtype)
+        vae_params = vae_mod.init(k_vae, cfg.vae, dtype)
+        text_params = [clip_mod.init(k, te, dtype)
+                       for k, te in zip(k_tes, cfg.text_encoders)]
+
     return ModelSet(
         config=cfg,
-        unet_params=unet_mod.init(k_unet, cfg.unet, dtype),
-        vae_params=vae_mod.init(k_vae, cfg.vae, dtype),
-        text_params=[clip_mod.init(k, te, dtype)
-                     for k, te in zip(k_tes, cfg.text_encoders)],
+        unet_params=unet_params,
+        vae_params=vae_params,
+        text_params=text_params,
         tokenizer=FallbackTokenizer(),
         schedule=schedule,
         id=engine_id,

@@ -1,0 +1,191 @@
+"""Server bootstrap: CLI flags + SD_* env fallbacks, gRPC + HTTP servers,
+engine loading (the reference's gyre/server.py:567-1220 surface, TPU-sized).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import signal
+import sys
+import threading
+import time
+from concurrent import futures
+
+logger = logging.getLogger("gyre_tpu")
+
+
+def environ_bool(name: str, default: bool = False) -> bool:
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v.strip().lower() in ("1", "true", "yes", "on")
+
+
+def environ_list(name: str) -> list[str]:
+    v = os.environ.get(name, "")
+    return [s for s in (x.strip() for x in v.split(",")) if s]
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("gyre-tpu server")
+    net = p.add_argument_group("networking")
+    net.add_argument("--grpc_port", type=int,
+                     default=int(os.environ.get("SD_GRPC_PORT", 50051)))
+    net.add_argument("--http_port", type=int,
+                     default=int(os.environ.get("SD_HTTP_PORT", 5000)))
+    net.add_argument("--listen_to_all", action="store_true",
+                     default=environ_bool("SD_LISTEN_TO_ALL"))
+    net.add_argument("--access_token", type=str,
+                     default=os.environ.get("SD_ACCESS_TOKEN") or None)
+
+    gen = p.add_argument_group("generation")
+    gen.add_argument("--enginecfg", type=str,
+                     default=os.environ.get("SD_ENGINECFG",
+                                            "config/engines.yaml"))
+    gen.add_argument("--engine_id", action="append", dest="engine_ids",
+                     default=environ_list("SD_ENGINE_ID") or None,
+                     help="only enable these engine ids")
+    gen.add_argument("--batch_max", type=int,
+                     default=int(os.environ.get("SD_BATCH_MAX", 4)))
+    gen.add_argument("--nsfw_behaviour", type=str,
+                     choices=["block", "flag", "ignore"],
+                     default=os.environ.get("SD_NSFW_BEHAVIOUR", "flag"))
+
+    tpu = p.add_argument_group("tpu")
+    tpu.add_argument("--tp", type=int,
+                     default=int(os.environ.get("SD_TP", 1)),
+                     help="tensor-parallel width of the device mesh")
+    tpu.add_argument("--dtype", type=str, default="bfloat16",
+                     choices=["bfloat16", "float32"])
+
+    dbg = p.add_argument_group("debug")
+    dbg.add_argument("--vram_debug", action="store_true",
+                     default=environ_bool("SD_VRAM_DEBUG"))
+    dbg.add_argument("--log_level", type=str,
+                     default=os.environ.get("SD_LOG_LEVEL", "INFO"))
+    return p.parse_args(argv)
+
+
+def build_manager(args):
+    import jax.numpy as jnp
+
+    from .manager import engines_yaml
+    from .manager.manager import EngineManager
+
+    if os.path.exists(args.enginecfg):
+        entries = engines_yaml.load(args.enginecfg)
+    else:
+        logger.warning("engine config %s not found; using default engine",
+                       args.enginecfg)
+        entries = [{"id": "stable-diffusion-v1-5", "name": "SD 1.5",
+                    "model": "preset/sd15", "default": True}]
+    if args.engine_ids:
+        for e in entries:
+            if e.get("id") not in args.engine_ids:
+                e["enabled"] = False
+
+    mesh = None
+    try:
+        import jax
+
+        from .parallel import mesh as pmesh
+
+        if len(jax.devices()) > 1 or args.tp > 1:
+            mesh = pmesh.make_mesh(tp=args.tp)
+    except Exception as e:  # noqa: BLE001
+        logger.warning("mesh init failed (%s); single device", e)
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    return EngineManager(entries, mesh=mesh, compute_dtype=dtype,
+                         batch_max=args.batch_max)
+
+
+class TokenAuthInterceptor:
+    """Bearer-token check for gRPC (reference GrpcServerTokenChecker,
+    gyre/server.py:123-140)."""
+
+    def __init__(self, token: str):
+        import grpc
+
+        self.token = token
+        self._abort = grpc.unary_unary_rpc_method_handler(
+            lambda req, ctx: ctx.abort(grpc.StatusCode.UNAUTHENTICATED,
+                                       "invalid token"))
+
+    def intercept_service(self, continuation, handler_call_details):
+        meta = dict(handler_call_details.invocation_metadata)
+        auth = meta.get("authorization", "")
+        key = auth[7:] if auth.startswith("Bearer ") else auth
+        if key == self.token:
+            return continuation(handler_call_details)
+        return self._abort
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    logging.basicConfig(
+        level=getattr(logging, args.log_level.upper(), logging.INFO),
+        format="%(asctime)s %(levelname).1s %(name)s: %(message)s")
+
+    import grpc
+
+    from .services import registration
+    from .services.dashboard import DashboardServiceServicer
+    from .services.engines import EnginesServiceServicer
+    from .services.generate import GenerationServiceServicer
+
+    t0 = time.time()
+    manager = build_manager(args)
+
+    generation = GenerationServiceServicer(manager,
+                                           nsfw_behaviour=args.nsfw_behaviour,
+                                           batch_max=args.batch_max)
+    engines = EnginesServiceServicer(manager)
+    dashboard = DashboardServiceServicer()
+
+    interceptors = []
+    if args.access_token:
+        interceptors.append(TokenAuthInterceptor(args.access_token))
+    grpc_server = grpc.server(
+        futures.ThreadPoolExecutor(max_workers=4),
+        interceptors=interceptors,
+        options=[("grpc.max_send_message_length", 256 * 1024 * 1024),
+                 ("grpc.max_receive_message_length", 256 * 1024 * 1024)])
+    registration.add_all(grpc_server, generation=generation, engines=engines,
+                         dashboard=dashboard)
+    host = "[::]" if args.listen_to_all else "localhost"
+    grpc_server.add_insecure_port(f"{host}:{args.grpc_port}")
+    grpc_server.start()
+    logger.info("gRPC listening on %s:%d", host, args.grpc_port)
+
+    from .http.router import make_http_server, start_http_server
+
+    http_host = "" if args.listen_to_all else "localhost"
+    http_server = make_http_server(
+        http_host, args.http_port, manager=manager, generation=generation,
+        engines=engines,
+        access_keys=[args.access_token] if args.access_token else None)
+    start_http_server(http_server)
+    logger.info("HTTP listening on %s:%d", http_host or "*", args.http_port)
+
+    manager.load_engines()
+    logger.info("engines ready in %.1fs: %s", time.time() - t0,
+                ", ".join(manager.engine_ids))
+
+    stop = threading.Event()
+
+    def shutdown(*_):
+        logger.info("shutting down")
+        stop.set()
+
+    signal.signal(signal.SIGINT, shutdown)
+    signal.signal(signal.SIGTERM, shutdown)
+    stop.wait()
+    http_server.shutdown()
+    grpc_server.stop(grace=2).wait()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,398 @@
+"""GenerationService: the main gRPC surface.
+
+Re-implements the reference servicer's behavior
+(gyre/services/generate.py:935-1371): parameter extraction from the proto,
+per-request seeds with batch splitting, streaming Answer artifacts with PNG
+metadata, ChainGenerate stage routing, and the Async trio with deadline GC
+and cancellation.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import queue
+import threading
+import time
+import uuid as uuidlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..generated import generation_pb2 as pb
+from ..ops import images as I
+from ..pipeline.samplers import PROTO_SAMPLERS
+from .exception_to_grpc import exception_to_grpc
+
+logger = logging.getLogger(__name__)
+
+MAX_SEED = 2 ** 32 - 1
+
+
+# -------------------------------------------------------------- extraction
+
+
+@dataclass
+class ExtractedParams:
+    """Everything the pipeline needs, pulled from a generation Request
+    (the reference's ParameterExtractor field set,
+    gyre/services/generate.py:393-932, 1016-1019)."""
+
+    engine_id: str = ""
+    request_id: str = ""
+    prompt: str = ""
+    negative_prompt: str = ""
+    height: int = 512
+    width: int = 512
+    steps: int = 50
+    samples: int = 1
+    seeds: list = field(default_factory=list)
+    sampler: str = "k_dpmpp_2m"
+    guidance_scale: float = 7.5
+    eta: float | None = None
+    churn: float = 0.0
+    churn_tmin: float = 0.0
+    churn_tmax: float = 0.0
+    sigma_min: float | None = None
+    sigma_max: float | None = None
+    karras_rho: float | None = None
+    noise_type: str = "normal"
+    strength: float = 1.0
+    init_image: np.ndarray | None = None
+    mask_image: np.ndarray | None = None
+    masked_area_init: str = "shaped"
+    hires_fix: bool | None = None
+    hires_oos_fraction: float = 0.25
+    tiling: bool | str = False
+    clip_layer: int = 0
+    echo_artifacts: list = field(default_factory=list)
+    lora_artifacts: list = field(default_factory=list)
+    ti_artifacts: list = field(default_factory=list)
+    hint_images: list = field(default_factory=list)
+
+
+def extract_params(request: pb.Request) -> ExtractedParams:
+    p = ExtractedParams(engine_id=request.engine_id,
+                        request_id=request.request_id)
+
+    pos, neg = [], []
+    for prompt in request.prompt:
+        which = prompt.WhichOneof("prompt")
+        weight = 1.0
+        if prompt.HasField("parameters") and prompt.parameters.HasField("weight"):
+            weight = prompt.parameters.weight
+        if which == "text":
+            text = prompt.text
+            if weight < 0:
+                neg.append((text, -weight))
+            else:
+                pos.append((text, weight))
+            if prompt.HasField("parameters") and \
+                    prompt.parameters.HasField("clip_layer"):
+                p.clip_layer = -int(prompt.parameters.clip_layer)
+        elif which == "artifact":
+            art = prompt.artifact
+            if art.type == pb.ARTIFACT_IMAGE:
+                img = I.decode_png(art.binary)
+                if prompt.HasField("parameters") and \
+                        prompt.parameters.init:
+                    p.init_image = img[..., :3]
+                    if img.shape[-1] == 4:  # mask in alpha
+                        alpha = img[..., 3:]
+                        if (alpha < 0.999).any():
+                            p.mask_image = 1.0 - alpha
+                else:
+                    p.init_image = img[..., :3]
+                if prompt.echo_back:
+                    p.echo_artifacts.append(art)
+            elif art.type == pb.ARTIFACT_MASK:
+                mask = I.decode_png(art.binary)
+                p.mask_image = mask[..., :1]
+            elif art.type == pb.ARTIFACT_LORA:
+                p.lora_artifacts.append((art, weight))
+            elif art.type == pb.ARTIFACT_TOKEN_EMBEDDING:
+                p.ti_artifacts.append(art)
+            elif art.type == pb.ARTIFACT_HINT_IMAGE:
+                p.hint_images.append((art.hint_image_type,
+                                      I.decode_png(art.binary), weight))
+
+    def join(frags):
+        return " ".join(t if w == 1.0 else f"({t}:{w:g})" for t, w in frags)
+
+    p.prompt = join(pos)
+    p.negative_prompt = join(neg)
+
+    img = request.image
+    if img.height:
+        p.height = img.height
+    if img.width:
+        p.width = img.width
+    if img.steps:
+        p.steps = img.steps
+    if img.samples:
+        p.samples = img.samples
+    p.seeds = list(img.seed)
+
+    if img.HasField("transform") and img.transform.WhichOneof("type") == "diffusion":
+        p.sampler = PROTO_SAMPLERS[img.transform.diffusion]
+
+    for sp in img.parameters:
+        if sp.HasField("sampler"):
+            s = sp.sampler
+            if s.HasField("cfg_scale"):
+                p.guidance_scale = s.cfg_scale
+            if s.HasField("eta"):
+                p.eta = s.eta
+            if s.HasField("churn"):
+                p.churn = s.churn.churn
+                if s.churn.HasField("churn_tmin"):
+                    p.churn_tmin = s.churn.churn_tmin
+                if s.churn.HasField("churn_tmax"):
+                    p.churn_tmax = s.churn.churn_tmax
+            if s.HasField("sigma"):
+                if s.sigma.HasField("sigma_min"):
+                    p.sigma_min = s.sigma.sigma_min
+                if s.sigma.HasField("sigma_max"):
+                    p.sigma_max = s.sigma.sigma_max
+                if s.sigma.HasField("karras_rho"):
+                    p.karras_rho = s.sigma.karras_rho
+            if s.HasField("noise_type"):
+                p.noise_type = ("brownian" if s.noise_type ==
+                                pb.SAMPLER_NOISE_BROWNIAN else "normal")
+        if sp.HasField("schedule"):
+            if sp.schedule.HasField("start"):
+                p.strength = sp.schedule.start
+
+    if img.HasField("masked_area_init"):
+        p.masked_area_init = {
+            pb.MASKED_AREA_INIT_ZERO: "zero",
+            pb.MASKED_AREA_INIT_RANDOM: "random",
+            pb.MASKED_AREA_INIT_ORIGINAL: "original",
+        }.get(img.masked_area_init, "shaped")
+
+    if img.HasField("hires"):
+        p.hires_fix = img.hires.enable
+        if img.hires.HasField("oos_fraction"):
+            p.hires_oos_fraction = img.hires.oos_fraction
+
+    if img.tiling:
+        p.tiling = True
+    elif img.tiling_x or img.tiling_y:
+        p.tiling = ("x" if img.tiling_x else "") + ("y" if img.tiling_y else "")
+
+    return p
+
+
+def fill_seeds(p: ExtractedParams) -> list[int]:
+    """Extend provided seeds to `samples` (reference batched_seeds fill,
+    gyre/services/generate.py:959-990)."""
+    seeds = [s & MAX_SEED for s in p.seeds if s]
+    if not seeds:
+        seeds = [np.random.randint(0, MAX_SEED)]
+    while len(seeds) < p.samples:
+        seeds.append((seeds[-1] + 1) & MAX_SEED)
+    return seeds[:p.samples]
+
+
+# ---------------------------------------------------------------- servicer
+
+
+def image_to_artifact(img: np.ndarray, *, index: int, seed: int,
+                      metadata: dict | None = None,
+                      mime: str = "image/png",
+                      finish_reason=pb.NULL) -> pb.Artifact:
+    data = I.encode_png(img, metadata) if mime == "image/png" else \
+        I.encode_webp(img)
+    return pb.Artifact(
+        id=index, type=pb.ARTIFACT_IMAGE, mime=mime, index=index,
+        seed=seed, uuid=str(uuidlib.uuid4()), binary=data, size=len(data),
+        finish_reason=finish_reason)
+
+
+class AsyncContext:
+    """Background-generation bookkeeping (reference AsyncContext,
+    gyre/services/generate.py:88-144)."""
+
+    DEADLINE = 600.0
+
+    def __init__(self):
+        self.queue: queue.Queue = queue.Queue()
+        self.stop_event = threading.Event()
+        self.done = False
+        self.deadline = None
+
+    def finish(self):
+        self.done = True
+        self.deadline = time.monotonic() + self.DEADLINE
+
+
+class GenerationServiceServicer:
+    def __init__(self, manager, nsfw_behaviour: str = "flag",
+                 batch_max: int = 4, debug_recorder=None):
+        self.manager = manager
+        self.nsfw_behaviour = nsfw_behaviour
+        self.batch_max = batch_max
+        self.debug_recorder = debug_recorder
+        self._async: dict[str, AsyncContext] = {}
+        self._async_lock = threading.Lock()
+
+    # ------------------------------------------------------------ Generate
+
+    def _run_request(self, request: pb.Request, stop_event=None):
+        """Yield (image, seed, index, metadata) for one request."""
+        p = extract_params(request)
+        seeds = fill_seeds(p)
+
+        meta = {
+            "prompt": p.prompt, "negative_prompt": p.negative_prompt,
+            "engine": p.engine_id or self.manager.default_engine_id(),
+            "sampler": p.sampler, "steps": p.steps,
+            "cfg_scale": p.guidance_scale,
+            "height": p.height, "width": p.width,
+        }
+
+        with self.manager.with_engine(p.engine_id or None) as pipe:
+            index = 0
+            for i in range(0, len(seeds), self.batch_max):
+                if stop_event is not None and stop_event.is_set():
+                    return
+                batch = seeds[i:i + self.batch_max]
+                imgs = pipe(
+                    prompt=p.prompt, negative_prompt=p.negative_prompt,
+                    height=p.height, width=p.width, steps=p.steps,
+                    sampler=p.sampler, seeds=batch,
+                    guidance_scale=p.guidance_scale,
+                    init_image=p.init_image if p.init_image is None else
+                    np.broadcast_to(p.init_image,
+                                    (len(batch),) + p.init_image.shape[1:]),
+                    mask_image=p.mask_image if p.mask_image is None else
+                    np.broadcast_to(p.mask_image,
+                                    (len(batch),) + p.mask_image.shape[1:]),
+                    strength=p.strength, eta=p.eta, churn=p.churn,
+                    churn_tmin=p.churn_tmin, churn_tmax=p.churn_tmax,
+                    karras_rho=p.karras_rho, sigma_min=p.sigma_min,
+                    sigma_max=p.sigma_max,
+                    masked_area_init=p.masked_area_init, tiling=p.tiling,
+                )
+                imgs = np.asarray(imgs)
+                for j, seed in enumerate(batch):
+                    md = dict(meta, seed=seed, index=index)
+                    md = {k: str(v) for k, v in md.items()}
+                    yield imgs[j], seed, index, md
+                    index += 1
+            # echo artifacts
+            for art in p.echo_artifacts:
+                yield art, None, index, None
+                index += 1
+
+    @exception_to_grpc()
+    def Generate(self, request: pb.Request, context):
+        stop_event = threading.Event()
+        if context is not None and hasattr(context, "add_callback"):
+            context.add_callback(stop_event.set)
+        recv = int(time.time())
+        for item, seed, index, md in self._run_request(request, stop_event):
+            if isinstance(item, pb.Artifact):
+                artifact = item
+            else:
+                artifact = image_to_artifact(item, index=index, seed=seed,
+                                             metadata=md)
+            yield pb.Answer(
+                answer_id=f"{request.request_id}-{index}",
+                request_id=request.request_id,
+                received=recv, created=int(time.time()),
+                artifacts=[artifact])
+
+    # ------------------------------------------------------- ChainGenerate
+
+    @exception_to_grpc()
+    def ChainGenerate(self, request: pb.ChainRequest, context):
+        """Staged generation graph with RETURN/PASS routing (reference
+        gyre/services/generate.py:1202-1267)."""
+        results: dict[str, list[pb.Artifact]] = {}
+        for stage in request.stage:
+            req = pb.Request()
+            req.CopyFrom(stage.request)
+            req.request_id = req.request_id or request.request_id
+            # PASS: inject prior stage artifacts as init image prompts
+            incoming = results.pop(stage.id, [])
+            for art in incoming:
+                prompt = req.prompt.add()
+                prompt.artifact.CopyFrom(art)
+                prompt.parameters.init = True
+            produced = []
+            for answer in self.Generate(req, context):
+                produced.extend(answer.artifacts)
+            returned = []
+            routed = False
+            for on_status in stage.on_status:
+                act = list(on_status.action)
+                if pb.STAGE_ACTION_RETURN in act:
+                    returned = produced
+                for target in ([on_status.target]
+                               if on_status.HasField("target") else []):
+                    results.setdefault(target, []).extend(produced)
+                    routed = True
+            if not stage.on_status and not routed:
+                returned = produced
+            if returned:
+                yield pb.Answer(request_id=request.request_id,
+                                answer_id=f"{request.request_id}-{stage.id}",
+                                artifacts=returned)
+
+    # --------------------------------------------------------------- Async
+
+    @exception_to_grpc()
+    def AsyncGenerate(self, request: pb.Request, context):
+        ctx = AsyncContext()
+        handle = str(uuidlib.uuid4())
+        with self._async_lock:
+            self._gc_async()
+            self._async[handle] = ctx
+
+        def run():
+            try:
+                for answer in self.Generate(request, None):
+                    if ctx.stop_event.is_set():
+                        break
+                    ctx.queue.put(answer)
+            except Exception as e:  # noqa: BLE001
+                logger.error("async generate failed: %s", e)
+            finally:
+                ctx.finish()
+
+        threading.Thread(target=run, daemon=True).start()
+        return pb.AsyncHandle(request_id=request.request_id,
+                              async_handle=handle)
+
+    @exception_to_grpc()
+    def AsyncResult(self, handle: pb.AsyncHandle, context):
+        ctx = self._async.get(handle.async_handle)
+        if ctx is None:
+            raise KeyError(f"unknown async handle {handle.async_handle}")
+        answers = []
+        try:
+            answers.append(ctx.queue.get(timeout=0.5))
+            while True:
+                answers.append(ctx.queue.get_nowait())
+        except queue.Empty:
+            pass
+        complete = ctx.done and ctx.queue.empty()
+        if complete:
+            with self._async_lock:
+                self._async.pop(handle.async_handle, None)
+        return pb.AsyncAnswer(answer=answers, complete=complete)
+
+    @exception_to_grpc()
+    def AsyncCancel(self, handle: pb.AsyncHandle, context):
+        ctx = self._async.pop(handle.async_handle, None)
+        if ctx is not None:
+            ctx.stop_event.set()
+        return pb.AsyncCancelAnswer()
+
+    def _gc_async(self):
+        now = time.monotonic()
+        for k in list(self._async):
+            ctx = self._async[k]
+            if ctx.done and ctx.deadline and now > ctx.deadline:
+                del self._async[k]

@@ -1,0 +1,116 @@
+"""engines.yaml DSL tests: includes, templates, overlays."""
+
+import os
+import textwrap
+
+import pytest
+
+from gyre_tpu.manager import engines_yaml
+
+
+def write(tmp_path, name, content):
+    p = tmp_path / name
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(textwrap.dedent(content))
+    return str(p)
+
+
+def test_include_and_merge(tmp_path):
+    write(tmp_path, "sub/one.yaml", """
+    - id: engine-a
+      name: A
+    """)
+    write(tmp_path, "sub/two.yaml", """
+    - id: engine-b
+      name: B
+    - id: engine-a
+      description: patched
+    """)
+    main = write(tmp_path, "main.yaml", """
+    - !include sub/*.yaml
+    """)
+    entries = engines_yaml.load(main)
+    by_id = {e["id"]: e for e in entries}
+    assert set(by_id) == {"engine-a", "engine-b"}
+    assert by_id["engine-a"]["name"] == "A"
+    assert by_id["engine-a"]["description"] == "patched"
+
+
+def test_conditional_include(tmp_path):
+    write(tmp_path, "extra.yaml", "- id: extra-engine\n")
+    main = write(tmp_path, "main.yaml", """
+    - id: base
+    - !include(extras) extra.yaml
+    """)
+    assert len(engines_yaml.load(main)) == 1
+    assert len(engines_yaml.load(main, {"extras": True})) == 2
+
+
+def test_template_expansion(tmp_path):
+    main = write(tmp_path, "main.yaml", """
+    - id: tpl
+      abstract: true
+      task: generate
+      name: "{{name:Default Name}}"
+      model: "{{model}}"
+      options:
+        sampler: k_euler
+    - id: child
+      template: tpl
+      params:
+        name: Child Engine
+        model: preset/sd15
+    - id: child2
+      template: tpl
+      params:
+        model: preset/sd21
+      options:
+        sampler: ddim
+    """)
+    entries = engines_yaml.load(main)
+    by_id = {e["id"]: e for e in entries}
+    assert "tpl" not in by_id
+    assert by_id["child"]["name"] == "Child Engine"
+    assert by_id["child"]["model"] == "preset/sd15"
+    assert by_id["child"]["options"]["sampler"] == "k_euler"
+    assert by_id["child2"]["name"] == "Default Name"
+    assert by_id["child2"]["options"]["sampler"] == "ddim"
+
+
+def test_section_rendering(tmp_path):
+    main = write(tmp_path, "main.yaml", """
+    - id: tpl
+      abstract: true
+      options:
+        "{{#fp32}}":
+          dtype: float32
+        "{{^fp32}}":
+          dtype: bfloat16
+    - id: a
+      template: tpl
+      params:
+        fp32: true
+    - id: b
+      template: tpl
+    """)
+    by_id = {e["id"]: e for e in engines_yaml.load(main)}
+    assert by_id["a"]["options"]["dtype"] == "float32"
+    assert by_id["b"]["options"]["dtype"] == "bfloat16"
+
+
+def test_recursion_guard(tmp_path):
+    main = write(tmp_path, "loop.yaml", "- !include loop.yaml\n")
+    with pytest.raises(ValueError):
+        engines_yaml.load(main)
+
+
+def test_dist_config_loads():
+    root = os.path.join(os.path.dirname(__file__), "..", "config",
+                        "engines.yaml")
+    entries = engines_yaml.load(root)
+    ids = [e["id"] for e in entries]
+    assert "stable-diffusion-v1-5" in ids
+    sd15 = next(e for e in entries if e["id"] == "stable-diffusion-v1-5")
+    assert sd15["model"] == "preset/sd15"
+    assert sd15["default"] is True
+    assert all(not e.get("abstract") for e in entries)

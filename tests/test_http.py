@@ -1,0 +1,158 @@
+"""HTTP surface tests: REST v1, JSON gateway, gRPC-WEB framing, status —
+over a real socket against the stdlib server."""
+
+import base64
+import json
+import socket
+import urllib.request
+
+import numpy as np
+import pytest
+
+from gyre_tpu.generated import generation_pb2 as pb
+from gyre_tpu.http import grpc_web
+from gyre_tpu.http.router import make_http_server, start_http_server
+from gyre_tpu.manager.manager import EngineManager
+from gyre_tpu.ops import images as I
+from gyre_tpu.services.engines import EnginesServiceServicer
+from gyre_tpu.services.generate import GenerationServiceServicer
+
+
+@pytest.fixture(scope="module", autouse=True)
+def small_limits():
+    from gyre_tpu.http import stability_rest
+
+    saved = dict(stability_rest.LIMITS)
+    stability_rest.LIMITS["height"] = (64, 2048)
+    stability_rest.LIMITS["width"] = (64, 2048)
+    yield
+    stability_rest.LIMITS.update(saved)
+
+
+@pytest.fixture(scope="module")
+def base_url():
+    import jax.numpy as jnp
+
+    manager = EngineManager(
+        [{"id": "test-engine", "model": "preset/test", "default": True,
+          "name": "Test"}],
+        compute_dtype=jnp.float32, batch_max=2)
+    manager.load_engines()
+    generation = GenerationServiceServicer(manager, batch_max=2)
+    engines = EnginesServiceServicer(manager)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    server = make_http_server("localhost", port, manager=manager,
+                              generation=generation, engines=engines)
+    start_http_server(server)
+    yield f"http://localhost:{port}"
+    server.shutdown()
+
+
+def _post(url, body, headers=None):
+    if isinstance(body, (dict, list)):
+        body = json.dumps(body).encode()
+        headers = {"Content-Type": "application/json", **(headers or {})}
+    req = urllib.request.Request(url, data=body, headers=headers or {},
+                                 method="POST")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, dict(resp.headers), resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, dict(e.headers), e.read()
+
+
+def _get(url, headers=None):
+    req = urllib.request.Request(url, headers=headers or {})
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, resp.read()
+
+
+def test_server_json(base_url):
+    status, body = _get(base_url + "/server.json")
+    doc = json.loads(body)
+    assert status == 200 and "stability-rest-v1" in doc["api"]
+
+
+def test_status(base_url):
+    status, body = _get(base_url + "/status")
+    doc = json.loads(body)
+    assert doc["engines"][0]["id"] == "test-engine"
+
+
+def test_rest_engines_list(base_url):
+    status, body = _get(base_url + "/v1/engines/list")
+    doc = json.loads(body)
+    assert status == 200 and doc[0]["id"] == "test-engine"
+
+
+def test_rest_text_to_image_json(base_url):
+    status, headers, body = _post(
+        base_url + "/v1/generation/test-engine/text-to-image",
+        {"text_prompts": [{"text": "a cat"}], "height": 64, "width": 64,
+         "steps": 2, "seed": 7})
+    assert status == 200, body
+    doc = json.loads(body)
+    art = doc["artifacts"][0]
+    assert art["seed"] == 7
+    img = I.decode_png(base64.b64decode(art["base64"]))
+    assert img.shape == (1, 64, 64, 3)
+
+
+def test_rest_text_to_image_png_accept(base_url):
+    status, headers, body = _post(
+        base_url + "/v1/generation/test-engine/text-to-image",
+        json.dumps({"text_prompts": [{"text": "x"}], "height": 64,
+                    "width": 64, "steps": 2}).encode(),
+        {"Content-Type": "application/json", "Accept": "image/png"})
+    assert status == 200
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_rest_image_to_image(base_url):
+    init = np.full((1, 64, 64, 3), 0.5, np.float32)
+    b64 = base64.b64encode(I.encode_png(init)).decode()
+    status, headers, body = _post(
+        base_url + "/v1/generation/test-engine/image-to-image",
+        {"text_prompts": [{"text": "a cat"}], "height": 64, "width": 64,
+         "steps": 2, "init_image": b64, "image_strength": 0.5})
+    assert status == 200, body
+
+
+def test_rest_validation_error(base_url):
+    status, headers, body = _post(
+        base_url + "/v1/generation/test-engine/text-to-image",
+        {"text_prompts": [{"text": "x"}], "steps": 999,
+         "height": 64, "width": 64})
+    assert status == 400
+    assert json.loads(body)["name"] == "invalid_steps"
+
+
+def test_grpc_gateway_list_engines(base_url):
+    status, headers, body = _post(
+        base_url + "/grpcgateway/EnginesService/ListEngines", {})
+    doc = json.loads(body)
+    assert status == 200 and doc["engine"][0]["id"] == "test-engine"
+
+
+def test_grpc_web_generate(base_url):
+    req = pb.Request(engine_id="test-engine")
+    p = req.prompt.add()
+    p.text = "a cat"
+    req.image.height = 64
+    req.image.width = 64
+    req.image.steps = 2
+    req.image.seed.append(1)
+    payload = grpc_web.wrap_message(req.SerializeToString())
+    status, headers, body = _post(
+        base_url + "/gooseai.GenerationService/Generate", payload,
+        {"Content-Type": "application/grpc-web+proto"})
+    assert status == 200
+    frames = list(grpc_web.unwrap_message_stream(body))
+    data_frames = [d for f, d in frames if not f & grpc_web.TRAILER_FLAG]
+    trailer_frames = [d for f, d in frames if f & grpc_web.TRAILER_FLAG]
+    assert len(data_frames) == 1 and trailer_frames
+    answer = pb.Answer.FromString(data_frames[0])
+    assert answer.artifacts[0].type == pb.ARTIFACT_IMAGE
+    assert b"grpc-status: 0" in trailer_frames[0]

@@ -1,0 +1,113 @@
+"""Image ops library tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gyre_tpu.ops import images as I
+
+
+def _grad_img(size=32):
+    x = np.linspace(0, 1, size, dtype=np.float32)
+    return np.tile(x[None, :, None], (size, 1, 3))[None]
+
+
+def test_png_roundtrip_with_metadata():
+    img = _grad_img()
+    data = I.encode_png(img, {"prompt": "a cat", "seed": "42"})
+    back = I.decode_png(data)
+    assert back.shape == img.shape
+    np.testing.assert_allclose(back, img, atol=1 / 255 + 1e-6)
+    meta = I.png_metadata(data)
+    assert meta["prompt"] == "a cat" and meta["seed"] == "42"
+
+
+def test_webp_encode():
+    assert I.encode_webp(_grad_img())[:4] == b"RIFF"
+
+
+def test_levels_invert_normalise():
+    img = jnp.asarray(_grad_img())
+    lev = I.levels(img, 0.25, 0.75, 0.0, 1.0)
+    assert float(lev.min()) == 0.0 and float(lev.max()) == 1.0
+    np.testing.assert_allclose(np.asarray(I.invert(img)), 1 - np.asarray(img))
+    norm = I.normalise(img * 0.5 + 0.2)
+    assert abs(float(norm.min())) < 1e-6 and abs(float(norm.max()) - 1) < 1e-6
+
+
+def test_gaussian_blur_preserves_mean():
+    img = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 3)
+                      .astype(np.float32))
+    out = I.gaussian_blur(img, 2.0)
+    assert out.shape == img.shape
+    assert abs(float(out.mean()) - float(img.mean())) < 0.01
+    assert float(out.std()) < float(img.std())
+
+
+def test_rescale_modes():
+    img = jnp.asarray(_grad_img(32))
+    assert I.rescale(img, 16, 16, "strict").shape == (1, 16, 16, 3)
+    assert I.rescale(img, 16, 24, "cover").shape == (1, 16, 24, 3)
+    assert I.rescale(img, 16, 24, "contain").shape == (1, 16, 24, 3)
+
+
+def test_canny_edges_find_step():
+    img = np.zeros((1, 32, 32, 3), np.float32)
+    img[:, :, 16:] = 1.0
+    edges = np.asarray(I.canny_edge(jnp.asarray(img)))
+    # edge energy concentrated near column 16
+    col_sums = edges[0, 4:-4, :, 0].sum(axis=0)
+    assert col_sums[14:18].sum() > 0.5 * col_sums.sum()
+
+
+def test_normalmap_from_depth():
+    depth = jnp.asarray(_grad_img())[..., :1]
+    n = I.normalmap_from_depthmap(depth)
+    assert n.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(n)).all()
+    assert 0 <= float(n.min()) and float(n.max()) <= 1
+
+
+def test_match_histograms():
+    rs = np.random.RandomState(1)
+    src = jnp.asarray(rs.rand(1, 16, 16, 3).astype(np.float32) * 0.5)
+    ref = jnp.asarray(rs.rand(1, 16, 16, 3).astype(np.float32) * 0.5 + 0.5)
+    out = np.asarray(I.match_histograms(src, ref))
+    # matched output adopts reference's distribution
+    assert abs(out.mean() - np.asarray(ref).mean()) < 0.02
+    assert out.min() >= 0.45
+
+
+def test_palletize_quantize():
+    img = jnp.asarray(_grad_img())
+    pal = np.asarray(I.palletize(img, 4))
+    assert len(np.unique(pal)) <= 4
+    q = np.asarray(I.quantize(img))
+    assert set(np.unique(q)) <= {0.0, 1.0}
+
+
+def test_infill_fills_hole():
+    img = np.ones((1, 32, 32, 3), np.float32) * 0.8
+    keep = np.ones((1, 32, 32, 1), np.float32)
+    keep[:, 12:20, 12:20] = 0.0
+    img[:, 12:20, 12:20] = 0.0
+    out = np.asarray(I.infill(jnp.asarray(img), jnp.asarray(keep)))
+    assert out[0, 14:18, 14:18].mean() > 0.5  # hole filled from surround
+
+
+def test_frequency_blend_and_tv():
+    a = jnp.asarray(_grad_img())
+    b = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 3)
+                    .astype(np.float32))
+    out = I.frequency_blend(a, b)
+    assert out.shape == a.shape and np.isfinite(np.asarray(out)).all()
+    tv = I.tv_denoise(b, weight=0.2)
+    assert float(jnp.std(tv)) < float(jnp.std(b))
+
+
+def test_shuffle_preserves_statistics():
+    img = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3)
+                      .astype(np.float32))
+    out = I.shuffle(img, jax.random.PRNGKey(0))
+    assert out.shape == img.shape
+    assert abs(float(out.mean()) - float(img.mean())) < 0.05

@@ -1,0 +1,152 @@
+"""Request-level service tests: the reference's harness pattern
+(tests/test_harness.py drives the real servicer with a fake grpc context)
+at unit scale with the tiny random engine — no weights, no sockets."""
+
+import base64
+import json
+
+import numpy as np
+import pytest
+
+from gyre_tpu.generated import engines_pb2 as epb
+from gyre_tpu.generated import generation_pb2 as pb
+from gyre_tpu.http.router import FakeGrpcContext
+from gyre_tpu.manager.manager import EngineManager
+from gyre_tpu.ops import images as I
+from gyre_tpu.services.engines import EnginesServiceServicer
+from gyre_tpu.services.generate import GenerationServiceServicer
+
+
+@pytest.fixture(scope="module")
+def manager():
+    import jax.numpy as jnp
+
+    m = EngineManager(
+        [{"id": "test-engine", "name": "Test", "model": "preset/test",
+          "default": True},
+         {"id": "second-engine", "name": "Second", "model": "preset/test"}],
+        compute_dtype=jnp.float32, batch_max=2)
+    m.load_engines()
+    return m
+
+
+@pytest.fixture(scope="module")
+def generation(manager):
+    return GenerationServiceServicer(manager, batch_max=2)
+
+
+@pytest.fixture(scope="module")
+def engines(manager):
+    return EnginesServiceServicer(manager)
+
+
+def _request(prompt="a cat", steps=2, samples=1, size=64, **kw):
+    req = pb.Request(engine_id="test-engine")
+    p = req.prompt.add()
+    p.text = prompt
+    img = req.image
+    img.height = size
+    img.width = size
+    img.steps = steps
+    img.samples = samples
+    img.seed.append(kw.get("seed", 42))
+    img.transform.diffusion = pb.SAMPLER_K_EULER
+    sp = img.parameters.add()
+    sp.sampler.cfg_scale = 7.5
+    return req
+
+
+def test_generate_streams_answers(generation):
+    answers = list(generation.Generate(_request(samples=2), FakeGrpcContext()))
+    assert len(answers) == 2
+    art = answers[0].artifacts[0]
+    assert art.type == pb.ARTIFACT_IMAGE
+    assert art.mime == "image/png"
+    img = I.decode_png(art.binary)
+    assert img.shape == (1, 64, 64, 3)
+    meta = I.png_metadata(art.binary)
+    assert meta["prompt"] == "a cat"
+    assert meta["seed"] == "42"
+    # seed fill: second sample gets seed+1
+    assert answers[1].artifacts[0].seed == 43
+
+
+def test_generate_negative_prompt_and_weights(generation):
+    req = _request()
+    neg = req.prompt.add()
+    neg.text = "ugly"
+    neg.parameters.weight = -1.0
+    answers = list(generation.Generate(req, FakeGrpcContext()))
+    assert len(answers) == 1
+
+
+def test_generate_img2img_and_mask(generation):
+    req = _request(steps=2)
+    init = np.full((1, 64, 64, 3), 0.5, np.float32)
+    art_prompt = req.prompt.add()
+    art_prompt.parameters.init = True
+    art_prompt.artifact.type = pb.ARTIFACT_IMAGE
+    art_prompt.artifact.binary = I.encode_png(init)
+    mask = np.zeros((1, 64, 64, 1), np.float32)
+    mask[:, :32] = 1.0
+    mask_prompt = req.prompt.add()
+    mask_prompt.artifact.type = pb.ARTIFACT_MASK
+    mask_prompt.artifact.binary = I.encode_png(mask)
+    sp = req.image.parameters[0]
+    sp.schedule.start = 1.0
+    answers = list(generation.Generate(req, FakeGrpcContext()))
+    img = I.decode_png(answers[0].artifacts[0].binary)
+    np.testing.assert_allclose(img[0, 56:], 0.5, atol=0.02)
+
+
+def test_chain_generate(generation):
+    chain = pb.ChainRequest(request_id="chain-1")
+    s1 = chain.stage.add()
+    s1.id = "first"
+    s1.request.CopyFrom(_request(steps=2))
+    on = s1.on_status.add()
+    on.action.append(pb.STAGE_ACTION_RETURN)
+    answers = list(generation.ChainGenerate(chain, FakeGrpcContext()))
+    assert len(answers) == 1
+    assert answers[0].artifacts[0].type == pb.ARTIFACT_IMAGE
+
+
+def test_async_roundtrip(generation):
+    import time
+
+    handle = generation.AsyncGenerate(_request(steps=2), FakeGrpcContext())
+    assert handle.async_handle
+    deadline = time.time() + 120
+    got = []
+    complete = False
+    while time.time() < deadline and not complete:
+        res = generation.AsyncResult(
+            pb.AsyncHandle(async_handle=handle.async_handle),
+            FakeGrpcContext())
+        got.extend(res.answer)
+        complete = res.complete
+    assert complete and len(got) == 1
+
+
+def test_async_cancel(generation):
+    handle = generation.AsyncGenerate(_request(steps=2), FakeGrpcContext())
+    generation.AsyncCancel(pb.AsyncHandle(async_handle=handle.async_handle),
+                           FakeGrpcContext())
+    assert handle.async_handle not in generation._async
+
+
+def test_list_engines(engines):
+    out = engines.ListEngines(epb.ListEnginesRequest(), FakeGrpcContext())
+    ids = [e.id for e in out.engine]
+    assert "test-engine" in ids and "second-engine" in ids
+    info = out.engine[ids.index("test-engine")]
+    assert len(info.supported_samplers) == 19
+    assert pb.ARTIFACT_MASK in info.accepted_prompt_artifacts
+
+
+def test_unknown_engine_errors(generation):
+    req = _request()
+    req.engine_id = "no-such-engine"
+    ctx = FakeGrpcContext()
+    with pytest.raises(Exception):
+        list(generation.Generate(req, ctx))
