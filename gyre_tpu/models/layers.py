@@ -153,20 +153,13 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array,
               scale: float | None = None) -> jax.Array:
     """Multi-head scaled-dot-product attention, [B, T, H, D] layout.
 
-    Softmax in f32. XLA fuses this well on TPU for moderate T; the Pallas
-    flash kernel (ops/attention.py) replaces it on the hot path for long
-    sequences and is verified against this implementation.
+    Dispatches to the Pallas flash kernel for long self-attention on TPU
+    (ops/attention.py) and the XLA einsum path otherwise; softmax in f32
+    either way.
     """
-    d = q.shape[-1]
-    scale = scale if scale is not None else 1.0 / math.sqrt(d)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    if mask is not None:
-        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
-    probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
-                     preferred_element_type=v.dtype)
-    return out
+    from ..ops import attention as attn_ops
+
+    return attn_ops.attention(q, k, v, mask=mask, scale=scale)
 
 
 # ------------------------------------------------------------ timestep embed

@@ -1,0 +1,192 @@
+"""Flash attention as a Pallas TPU kernel.
+
+Replaces the reference's xformers memory-efficient attention
+(gyre/pipeline/xformers_utils.py) / attention slicing (vram mode): the
+online-softmax formulation never materializes the [T, T] logits matrix in
+HBM, which is the dominant memory-bandwidth cost of UNet self-attention at
+512^2+ (T=4096; SDXL 1024^2 level-1 T=16384).
+
+Design (per pallas_guide):
+  * grid = (B*H, T_q / BLOCK_Q); K/V for one (batch, head) live whole in
+    VMEM (T=16384, D<=128, bf16 -> 4 MB each, within the 16 MB budget);
+    the kernel loops KV in BLOCK_K chunks with a fori_loop carrying
+    (m, l, acc) — the standard streaming softmax.
+  * head_dim is zero-padded to a multiple of 128 lanes outside the kernel;
+    zero K columns don't change logits, zero V columns are sliced off.
+  * softmax statistics in f32, matmuls through the MXU with
+    preferred_element_type=f32.
+
+Falls back to the jnp reference implementation off-TPU (CPU tests) and for
+short sequences where XLA's fused path is already optimal.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BLOCK_Q = 128
+BLOCK_K = 128
+LANE = 128
+
+
+def _ref_attention(q, k, v, scale):
+    """jnp reference, [B,H,T,D]."""
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                      preferred_element_type=v.dtype)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                  scale, block_k, kv_valid, num_kv):
+    """One (bh, q-block, kv-block) grid step. TPU grid iterations run
+    sequentially per core, so (m, l, acc) persist in VMEM scratch across
+    the innermost kv axis — the canonical streaming-softmax layout with
+    pallas-managed double buffering of the K/V blocks."""
+    from jax.experimental import pallas as pl
+
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]                                       # [BQ, D] bf16
+    bq = q.shape[0]
+    k = k_ref[0]                                       # [BK, D] bf16
+    v = v_ref[0]
+    # matmuls in the input dtype (bf16 feeds the MXU at full rate),
+    # accumulate + softmax statistics in f32
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale    # [BQ, BK]
+    if kv_valid != num_kv * block_k:
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + \
+            ki * block_k
+        s = jnp.where(col < kv_valid, s, -jnp.inf)
+    m_prev = m_scr[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    m_scr[:] = m_new
+    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ki == num_kv - 1)
+    def _():
+        o_ref[0] = (acc_scr[:] /
+                    jnp.maximum(l_scr[:], 1e-20)).astype(o_ref.dtype)
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def flash_attention_bhtd(q, k, v, scale: float):
+    """[B,H,Tq,D] x [B,H,Tk,D] -> [B,H,Tq,D] via the Pallas kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    d_pad = max(LANE, ((d + LANE - 1) // LANE) * LANE)
+    tq_pad = ((tq + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
+    # KV chunk: sublane-aligned (16 rows) and no larger than needed
+    block_k = min(BLOCK_K, ((tk + 15) // 16) * 16)
+    tk_pad = ((tk + block_k - 1) // block_k) * block_k
+
+    qp = _pad_to(_pad_to(q, d_pad, 3), tq_pad, 2).reshape(b * h, tq_pad, d_pad)
+    kp = _pad_to(_pad_to(k, d_pad, 3), tk_pad, 2).reshape(b * h, tk_pad, d_pad)
+    vp = _pad_to(_pad_to(v, d_pad, 3), tk_pad, 2).reshape(b * h, tk_pad, d_pad)
+    num_kv = tk_pad // block_k
+    kernel = functools.partial(_flash_kernel, scale=scale, block_k=block_k,
+                               kv_valid=tk, num_kv=num_kv)
+    grid = (b * h, tq_pad // BLOCK_Q, num_kv)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q, d_pad), lambda i, j, ki: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j, ki: (i, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j, ki: (i, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BLOCK_Q, d_pad),
+                               lambda i, j, ki: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, tq_pad, d_pad), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
+            pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
+            pltpu.VMEM((BLOCK_Q, d_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * tq_pad * tk_pad * d_pad,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=b * h * tq_pad * tk_pad,
+        ),
+    )(qp, kp, vp)
+    out = out.reshape(b, h, tq_pad, d_pad)[:, :, :tq, :d]
+    return out
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+# Sequence length above which the flash kernel takes over. Measured on
+# v5e-1: XLA's fused attention wins below this (flash pays head-dim lane
+# padding, e.g. d=40 -> 128), but XLA materializes the full [T,T] logits in
+# HBM and OOMs at SD2-768/SDXL sizes (f32[2,20,9216,9216] = 27 GB) where
+# flash runs in ~140 ms. 8192 covers exactly the sizes XLA can't.
+FLASH_MIN_SEQ = 8192
+
+
+def attention(q, k, v, mask=None, scale: float | None = None,
+              impl: str = "auto"):
+    """Multi-head attention, [B,T,H,D] layout (models/layers.py contract).
+
+    impl: "auto" (flash on TPU for long unmasked self-attention),
+          "flash", or "ref".
+    """
+    d = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    use_flash = (impl == "flash" or
+                 (impl == "auto" and mask is None and _on_tpu() and
+                  q.shape[1] >= FLASH_MIN_SEQ))
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    if use_flash:
+        out = flash_attention_bhtd(qt, kt, vt, scale)
+    else:
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qt, kt,
+                            preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(vt.dtype), vt,
+                         preferred_element_type=vt.dtype)
+    return jnp.swapaxes(out, 1, 2)
