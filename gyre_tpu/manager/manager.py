@@ -94,6 +94,7 @@ class EngineManager:
         self.batch_max = batch_max
         self._modelsets: dict[str, ModelSet] = {}
         self._pipelines: dict[str, UnifiedPipeline] = {}
+        self._adapted: dict = {}
         # one dispatcher lock per mesh: gRPC threads never touch the TPU
         # concurrently (reference used a blocking device queue instead)
         self._dispatch_lock = threading.RLock()
@@ -176,15 +177,64 @@ class EngineManager:
                 self._modelsets[engine_id], compute_dtype=self.compute_dtype)
         return self._pipelines[engine_id]
 
+    def adapted_pipeline(self, engine_id: str, loras=None, tis=None):
+        """Pipeline view with LoRA/TI weight transforms folded in.
+
+        loras: [(state_dict, scale, cache_key)], tis: [(state_dict,
+        cache_key)]. Adapted weight trees are LRU-cached; compiled programs
+        are shared with the base pipeline (params are traced args).
+        """
+        base = self.pipeline(engine_id)
+        if not loras and not tis:
+            return base
+        key = (engine_id,
+               tuple((ck, round(s, 4)) for _, s, ck in (loras or [])),
+               tuple(ck for _, ck in (tis or [])))
+        cached = self._adapted.get(key)
+        if cached is not None:
+            return cached
+
+        from ..models.modelset import ModelSet
+        from ..pipeline import lora as lora_mod
+
+        ms = base.ms
+        unet_p, text_p = ms.unet_params, list(ms.text_params)
+        tokenizer = ms.tokenizer
+        for state, scale, _ in loras or []:
+            unet_p, text_p, n = lora_mod.apply_lora(unet_p, text_p, state,
+                                                    scale)
+            logger.info("lora applied to %s: %d modules (scale %.2f)",
+                        engine_id, n, scale)
+        if tis:
+            embeddings = {}
+            for state, _ in tis:
+                embeddings.update(lora_mod.extract_ti_embeddings(state))
+            tmp = ModelSet(config=ms.config, unet_params=unet_p,
+                           vae_params=ms.vae_params, text_params=text_p,
+                           tokenizer=tokenizer, schedule=ms.schedule,
+                           id=ms.id)
+            text_p, tokenizer = lora_mod.apply_textual_inversions(
+                tmp, embeddings)
+        new_ms = ModelSet(config=ms.config, unet_params=unet_p,
+                          vae_params=ms.vae_params, text_params=text_p,
+                          tokenizer=tokenizer, schedule=ms.schedule,
+                          id=f"{ms.id}+adapters")
+        view = base.derive(new_ms)
+        if len(self._adapted) > 8:  # bounded weight-tree cache
+            self._adapted.pop(next(iter(self._adapted)))
+        self._adapted[key] = view
+        return view
+
     @contextmanager
-    def with_engine(self, engine_id: str | None = None, task: str = "generate"):
+    def with_engine(self, engine_id: str | None = None,
+                    task: str = "generate", loras=None, tis=None):
         """Borrow an engine for one request (reference gyre/manager.py:2081).
 
         On TPU this is a dispatch-serialization scope, not a device claim:
         weights are already resident on the mesh."""
         if not engine_id:
             engine_id = self.default_engine_id()
-        pipe = self.pipeline(engine_id)
+        pipe = self.adapted_pipeline(engine_id, loras, tis)
         with self._dispatch_lock:
             yield pipe
 

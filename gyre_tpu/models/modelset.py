@@ -52,11 +52,16 @@ def _host_random_like(init_fn, key, seed: int, dtype):
 
     for leaf in leaves:
         n = int(np_mod.prod(leaf.shape)) if leaf.shape else 1
-        fan = leaf.shape[0] if leaf.ndim >= 1 else 1
-        scale = 0.02 if leaf.ndim >= 2 else 0.0
-        if scale:
+        if leaf.ndim == 4:      # conv HWIO: fan-in = kh*kw*cin
+            fan = leaf.shape[0] * leaf.shape[1] * leaf.shape[2]
+        elif leaf.ndim >= 2:    # linear (in, out) / embeddings
+            fan = leaf.shape[-2]
+        else:
+            fan = 0
+        if fan:
+            # match torch's kaiming-uniform std: 0.577 / sqrt(fan_in)
             arr = rs.standard_normal(n).astype(np_mod.float32) * \
-                (1.0 / max(fan, 1)) ** 0.5
+                (0.577 / max(fan, 1) ** 0.5)
         else:
             # 1-D params: norm scales init to 1, biases to 0 — match by name
             arr = np_mod.zeros(n, np_mod.float32)

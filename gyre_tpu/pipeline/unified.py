@@ -62,6 +62,16 @@ class UnifiedPipeline:
 
     # ------------------------------------------------------------- helpers
 
+    def derive(self, new_modelset) -> "UnifiedPipeline":
+        """A pipeline view over adapted weights (LoRA/TI/mixes) sharing
+        every compiled program with the parent — params are traced
+        arguments, so adapters never trigger recompilation."""
+        import copy
+
+        view = copy.copy(self)
+        view.ms = new_modelset
+        return view
+
     @property
     def schedule(self) -> sched.DiffusionSchedule:
         return self.ms.schedule
@@ -69,7 +79,6 @@ class UnifiedPipeline:
     def _encode_ids_fn(self, tower_idx: int, clip_layer: int):
         key = ("encode_ids", tower_idx, clip_layer)
         if key not in self._fn_cache:
-            te_params = self.ms.text_params[tower_idx]
             te_cfg = self.ms.config.text_encoders[tower_idx]
 
             @jax.jit
@@ -78,8 +87,11 @@ class UnifiedPipeline:
                 return clip_mod.hidden_for_layer(params, te_cfg, out,
                                                  clip_layer)
 
-            self._fn_cache[key] = lambda ids: run(te_params, ids)
-        return self._fn_cache[key]
+            self._fn_cache[key] = run
+        run = self._fn_cache[key]
+        # params resolved per call so adapter-derived pipelines (LoRA/TI)
+        # share the compiled function
+        return lambda ids: run(self.ms.text_params[tower_idx], ids)
 
     def encode_prompt(self, prompt: prompts.WeightedPrompt,
                       pad_to_chunks: int = 0, tower_idx: int = 0,

@@ -209,6 +209,55 @@ def image_to_artifact(img: np.ndarray, *, index: int, seed: int,
         finish_reason=finish_reason)
 
 
+def _proto_tensor_to_np(t) -> np.ndarray:
+    from ..generated import tensors_pb2 as tpb
+
+    dtype_map = {tpb.DT_FLOAT32: np.float32, tpb.DT_FLOAT16: np.float16,
+                 tpb.DT_FLOAT64: np.float64, tpb.DT_INT32: np.int32,
+                 tpb.DT_INT64: np.int64, tpb.DT_UINT8: np.uint8}
+    if t.dtype == tpb.DT_BFLOAT16:
+        raw = np.frombuffer(t.data, dtype=np.uint16).astype(np.uint32) << 16
+        arr = raw.view(np.float32)
+    else:
+        arr = np.frombuffer(t.data, dtype=dtype_map.get(t.dtype, np.float32))
+    return arr.reshape(list(t.shape))
+
+
+def _proto_safetensors_to_dict(st) -> dict:
+    return {e.key: _proto_tensor_to_np(e.tensor) for e in st.tensors}
+
+
+def _artifact_safetensors(art) -> dict | None:
+    """Artifact carrying model weights -> state dict. Supports raw
+    safetensors bytes in `binary`, the proto Safetensors message, and the
+    lora/token_embedding wrapper messages."""
+    which = art.WhichOneof("data")
+    if which == "safetensors":
+        return _proto_safetensors_to_dict(art.safetensors)
+    if which == "lora":
+        return _proto_safetensors_to_dict(art.lora.lora)
+    if which == "token_embedding":
+        return {art.token_embedding.text:
+                _proto_tensor_to_np(art.token_embedding.tensor)}
+    if which == "binary" and art.binary:
+        try:
+            import tempfile
+
+            from safetensors import safe_open
+
+            out = {}
+            with tempfile.NamedTemporaryFile(suffix=".safetensors") as fh:
+                fh.write(art.binary)
+                fh.flush()
+                with safe_open(fh.name, framework="numpy") as sf:
+                    for k in sf.keys():
+                        out[k] = sf.get_tensor(k)
+            return out
+        except Exception:  # noqa: BLE001
+            logger.warning("could not parse weight artifact")
+    return None
+
+
 class AsyncContext:
     """Background-generation bookkeeping (reference AsyncContext,
     gyre/services/generate.py:88-144)."""
@@ -251,7 +300,21 @@ class GenerationServiceServicer:
             "height": p.height, "width": p.width,
         }
 
-        with self.manager.with_engine(p.engine_id or None) as pipe:
+        loras = []
+        for art, weight in p.lora_artifacts:
+            state = _artifact_safetensors(art)
+            if state:
+                loras.append((state, weight, art.uuid or art.cache_id or
+                              str(hash(art.binary[:256]))))
+        tis = []
+        for art in p.ti_artifacts:
+            state = _artifact_safetensors(art)
+            if state:
+                tis.append((state, art.uuid or art.cache_id or
+                            str(hash(art.binary[:256]))))
+
+        with self.manager.with_engine(p.engine_id or None, loras=loras,
+                                      tis=tis) as pipe:
             index = 0
             for i in range(0, len(seeds), self.batch_max):
                 if stop_event is not None and stop_event.is_set():

@@ -144,6 +144,49 @@ def test_list_engines(engines):
     assert pb.ARTIFACT_MASK in info.accepted_prompt_artifacts
 
 
+def test_lora_artifact_changes_output(generation):
+    import io
+
+    from safetensors.numpy import save
+
+    rank, dim = 2, 32
+    rs = np.random.RandomState(0)
+    pre = ("lora_unet_down_blocks_0_attentions_0_transformer_blocks_0"
+           "_attn1_to_q")
+    lora_bytes = save({
+        f"{pre}.lora_down.weight": rs.randn(rank, dim).astype(np.float32),
+        f"{pre}.lora_up.weight": rs.randn(dim, rank).astype(np.float32) * 5,
+    })
+
+    base = list(generation.Generate(_request(steps=2), FakeGrpcContext()))
+    req = _request(steps=2)
+    lp = req.prompt.add()
+    lp.artifact.type = pb.ARTIFACT_LORA
+    lp.artifact.binary = lora_bytes
+    lp.artifact.uuid = "test-lora"
+    lp.parameters.weight = 1.0
+    adapted = list(generation.Generate(req, FakeGrpcContext()))
+    a = I.decode_png(base[0].artifacts[0].binary)
+    b = I.decode_png(adapted[0].artifacts[0].binary)
+    assert np.abs(a - b).max() > 1 / 255
+
+
+def test_ti_artifact_roundtrip(generation):
+    req = _request(prompt="a <style> painting", steps=2)
+    tp = req.prompt.add()
+    tp.artifact.type = pb.ARTIFACT_TOKEN_EMBEDDING
+    tp.artifact.token_embedding.text = "<style>"
+    te = tp.artifact.token_embedding.tensor
+    from gyre_tpu.generated import tensors_pb2 as tpb
+
+    vec = np.random.RandomState(0).randn(1, 64).astype(np.float32)
+    te.dtype = tpb.DT_FLOAT32
+    te.shape.extend(vec.shape)
+    te.data = vec.tobytes()
+    answers = list(generation.Generate(req, FakeGrpcContext()))
+    assert answers and answers[0].artifacts[0].type == pb.ARTIFACT_IMAGE
+
+
 def test_unknown_engine_errors(generation):
     req = _request()
     req.engine_id = "no-such-engine"

@@ -96,6 +96,17 @@ def test_long_weighted_prompt(pipe):
     assert np.isfinite(np.asarray(img)).all()
 
 
+def test_prompt_changes_output(pipe):
+    """Regression: the conditioning path must actually influence results
+    (a weight-init bug once saturated the unet into a constant output)."""
+    kw = dict(height=SIZE, width=SIZE, steps=2, sampler="k_euler",
+              seeds=[1], guidance_scale=7.5)
+    a = np.asarray(pipe(prompt="a red cat", **kw))
+    b = np.asarray(pipe(prompt="a blue dog", **kw))
+    assert np.abs(a - b).max() > 1e-4
+    assert float(np.std(a)) > 1e-3
+
+
 def test_no_guidance_path(pipe):
     img = pipe(prompt="cat", height=SIZE, width=SIZE, steps=2,
                sampler="k_euler", seeds=[1], guidance_scale=1.0)
