@@ -83,12 +83,21 @@ class EngineManager:
 
     def __init__(self, engine_specs: list[dict] | list[EngineSpec],
                  mesh=None, compute_dtype=jnp.bfloat16, batch_max: int = 4):
+        entries = [s for s in engine_specs if isinstance(s, dict)]
+        hintset_entries = [e for e in entries if "hintset_id" in e]
         self.specs: list[EngineSpec] = [
             s if isinstance(s, EngineSpec) else EngineSpec.from_dict(s)
             for s in engine_specs
-            if isinstance(s, (EngineSpec, dict)) and
-            (isinstance(s, EngineSpec) or s.get("id"))
+            if isinstance(s, EngineSpec) or
+            (isinstance(s, dict) and s.get("id"))
         ]
+        from ..models import configs as model_configs
+
+        from .hints import HintsetManager
+
+        self.hintsets = HintsetManager(
+            hintset_entries, model_configs.SD15.unet,
+            compute_dtype=compute_dtype)
         self.mesh = mesh
         self.compute_dtype = compute_dtype
         self.batch_max = batch_max
@@ -237,6 +246,14 @@ class EngineManager:
         pipe = self.adapted_pipeline(engine_id, loras, tis)
         with self._dispatch_lock:
             yield pipe
+
+    def hint_model(self, hint_type: str, engine_id: str | None = None):
+        """Conditioning model for a hint type, matched to the engine's
+        unet architecture."""
+        eid = engine_id or self.default_engine_id()
+        ms = self._modelsets.get(eid)
+        cfg = ms.config.unet if ms else None
+        return self.hintsets.for_type(hint_type, cfg)
 
     def status(self) -> list[dict]:
         return [

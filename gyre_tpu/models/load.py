@@ -195,6 +195,62 @@ def load_unet_params(state: dict, cfg: UNetConfig, dtype=None) -> dict:
     return p
 
 
+def load_controlnet_params(state: dict, cfg: UNetConfig, dtype=None) -> dict:
+    """diffusers ControlNetModel safetensors -> our controlnet tree."""
+    m = KeyMapper(state, dtype)
+    p = {
+        "conv_in": _conv_p(m, "conv_in"),
+        "time_embed": {
+            "lin1": _linear_p(m, "time_embedding.linear_1"),
+            "lin2": _linear_p(m, "time_embedding.linear_2"),
+        },
+    }
+    ce = {"conv_in": _conv_p(m, "controlnet_cond_embedding.conv_in"),
+          "blocks": []}
+    i = 0
+    while f"controlnet_cond_embedding.blocks.{i}.weight" in state:
+        ce["blocks"].append({
+            "conv1": _conv_p(m, f"controlnet_cond_embedding.blocks.{i}"),
+            "conv2": _conv_p(m, f"controlnet_cond_embedding.blocks.{i + 1}"),
+        })
+        i += 2
+    ce["conv_out"] = _conv_p(m, "controlnet_cond_embedding.conv_out")
+    p["cond_embed"] = ce
+
+    down = []
+    for lvl in range(cfg.levels):
+        blk = {"resnets": [], "attns": []}
+        for j in range(cfg.layers_per_block):
+            blk["resnets"].append(
+                _unet_resnet(m, f"down_blocks.{lvl}.resnets.{j}"))
+            if cfg.attn_levels[lvl]:
+                blk["attns"].append(_unet_transformer(
+                    m, f"down_blocks.{lvl}.attentions.{j}",
+                    cfg.linear_projection))
+        if f"down_blocks.{lvl}.downsamplers.0.conv.weight" in state:
+            blk["downsample"] = _conv_p(
+                m, f"down_blocks.{lvl}.downsamplers.0.conv")
+        down.append(blk)
+    p["down"] = down
+    p["zero_convs"] = [
+        _conv_p(m, f"controlnet_down_blocks.{i}")
+        for i in range(sum(1 for k in state
+                           if re.match(r"controlnet_down_blocks\.\d+\.weight",
+                                       k)))]
+    p["mid"] = {
+        "res1": _unet_resnet(m, "mid_block.resnets.0"),
+        "res2": _unet_resnet(m, "mid_block.resnets.1"),
+    }
+    if cfg.mid_attn:
+        p["mid"]["attn"] = _unet_transformer(m, "mid_block.attentions.0",
+                                             cfg.linear_projection)
+    p["mid_zero"] = _conv_p(m, "controlnet_mid_block")
+    return p
+
+
+import re  # noqa: E402
+
+
 # ---------------------------------------------------------------------- VAE
 
 

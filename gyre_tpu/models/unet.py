@@ -255,15 +255,19 @@ def apply(params: Params, cfg: UNetConfig, x: jax.Array, timesteps: jax.Array,
     h = L.conv2d_tiled(params["conv_in"], x, tiling_x=tiling[0], tiling_y=tiling[1])
     skips = [h]
     for lvl, blk in enumerate(params["down"]):
-        if adapter_states is not None and lvl < len(adapter_states) \
-                and adapter_states[lvl] is not None:
-            h = h + adapter_states[lvl].astype(dtype)
         for i, res in enumerate(blk["resnets"]):
             h = _resnet(res, h, temb, groups, tiling)
             if blk["attns"]:
                 h = _transformer(blk["attns"][i], h, context,
                                  cfg.num_heads[lvl], groups,
                                  cfg.linear_projection)
+            # T2I-Adapter features: added after the level's last resnet
+            # (channels == block_out[lvl], the adapter's ladder)
+            if (adapter_states is not None and
+                    i == len(blk["resnets"]) - 1 and
+                    lvl < len(adapter_states) and
+                    adapter_states[lvl] is not None):
+                h = h + adapter_states[lvl].astype(dtype)
             skips.append(h)
         if "downsample" in blk:
             h = L.conv2d(blk["downsample"], h, stride=2,

@@ -49,6 +49,8 @@ class StaticSpec:
     churn_tmax: float
     tiling: tuple        # (tiling_x, tiling_y)
     cfg_parallel: bool = True
+    n_controlnets: int = 0
+    has_adapter: bool = False
 
 
 class UnifiedPipeline:
@@ -164,11 +166,37 @@ class UnifiedPipeline:
 
         @jax.jit
         def core(unet_params, sigmas, keys, ctx_u, ctx_g, cfg_scale,
-                 init_latents, mask_keep, extra_channels):
+                 init_latents, mask_keep, extra_channels,
+                 controlnets=(), adapter_states=None):
             shape = (spec.height, spec.width, unet_cfg.out_channels)
             sigma_start = sigmas[0]
 
-            model_fn = partial(raw_unet, unet_params)
+            base_unet = raw_unet
+            if spec.n_controlnets or spec.has_adapter:
+                from ..models import controlnet as cn_mod
+
+                def base_unet(params, x, t, context, **kw):  # noqa: F811
+                    down_res, mid_res = None, None
+                    for cn_params, cond_emb, scale in controlnets:
+                        reps = x.shape[0] // cond_emb.shape[0]
+                        ce = jnp.tile(cond_emb, (reps, 1, 1, 1)).astype(cdt)
+                        d, m = cn_mod.apply(cn_params, unet_cfg,
+                                            x.astype(cdt), t,
+                                            context.astype(cdt), ce,
+                                            conditioning_scale=scale)
+                        down_res = d if down_res is None else \
+                            [a + b for a, b in zip(down_res, d)]
+                        mid_res = m if mid_res is None else mid_res + m
+                    ast = None
+                    if spec.has_adapter and adapter_states is not None:
+                        ast = [jnp.tile(a, (x.shape[0] // a.shape[0], 1, 1, 1))
+                               for a in adapter_states]
+                    return raw_unet(params, x, t, context,
+                                    down_residuals=down_res,
+                                    mid_residual=mid_res,
+                                    adapter_states=ast, **kw)
+
+            model_fn = partial(base_unet, unet_params)
             if spec.mode == "inpaint9":
                 wrapm = modes.make_inpaint9_inputs(mask_keep, extra_channels)
                 model_fn = wrapm(model_fn)
@@ -235,6 +263,7 @@ class UnifiedPipeline:
                  sigma_max: float | None = None,
                  masked_area_init: str = "shaped",
                  tiling: bool | str = False,
+                 hints: list | None = None,
                  return_latents: bool = False):
         """Run generation; returns images [B,H,W,3] float32 in [0,1].
 
@@ -324,19 +353,52 @@ class UnifiedPipeline:
         else:
             tiling_xy = (bool(tiling), bool(tiling))
 
+        # hint stack: controlnet cond embeddings + t2i adapter states are
+        # x/t-independent -> computed outside the compiled step
+        controlnets = []
+        adapter_states = None
+        for hint in hints or []:
+            img = jnp.asarray(hint["image"], jnp.float32)
+            if img.shape[0] != batch:
+                img = jnp.broadcast_to(img, (batch,) + img.shape[1:])
+            if hint.get("kind", "controlnet") == "controlnet":
+                from ..models import controlnet as cn_mod
+
+                emb = cn_mod.embed_condition(hint["params"], img.astype(
+                    self.compute_dtype))
+                controlnets.append(
+                    (hint["params"], emb,
+                     jnp.float32(hint.get("scale", 1.0))))
+            else:
+                from ..models import t2i_adapter as t2i_mod
+
+                feats = t2i_mod.apply(hint["params"],
+                                      img.astype(self.compute_dtype))
+                scale = float(hint.get("scale", 1.0))
+                feats = [f * scale for f in feats]
+                if adapter_states is None:
+                    adapter_states = feats
+                else:
+                    adapter_states = [a + f for a, f in
+                                      zip(adapter_states, feats)]
+
         spec = StaticSpec(
             batch=batch, height=lh, width=lw, sampler=sampler,
             steps=len(sigmas_np) - 1, mode=mode, guided=guided,
             chunks=chunks, eta=float(eta), churn=float(churn),
             churn_tmin=float(churn_tmin),
             churn_tmax=float(churn_tmax) if churn_tmax else float("inf"),
-            tiling=tiling_xy)
+            tiling=tiling_xy,
+            n_controlnets=len(controlnets),
+            has_adapter=adapter_states is not None)
 
         x0 = self.core(spec)(
             self.ms.unet_params, sigmas, keys, ctx_u, ctx_g,
             jnp.float32(guidance_scale), init_latents, mask_keep,
             extra if extra is not None
-            else jnp.zeros((batch, lh, lw, 4), jnp.float32))
+            else jnp.zeros((batch, lh, lw, 4), jnp.float32),
+            controlnets=tuple(controlnets),
+            adapter_states=adapter_states)
 
         if return_latents:
             return x0

@@ -17,6 +17,7 @@ import time
 import uuid as uuidlib
 from dataclasses import dataclass, field
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..generated import generation_pb2 as pb
@@ -313,6 +314,19 @@ class GenerationServiceServicer:
                 tis.append((state, art.uuid or art.cache_id or
                             str(hash(art.binary[:256]))))
 
+        hints = []
+        for hint_type, img, weight in p.hint_images:
+            model = self.manager.hint_model(hint_type,
+                                            p.engine_id or None)
+            if model is None:
+                continue
+            # conditioning images resized to the request resolution
+            if img.shape[1:3] != (p.height, p.width):
+                img = np.asarray(I.rescale(
+                    jnp.asarray(img), p.height, p.width, fit="cover"))
+            hints.append({"params": model["params"], "kind": model["kind"],
+                          "image": img[..., :3], "scale": weight})
+
         with self.manager.with_engine(p.engine_id or None, loras=loras,
                                       tis=tis) as pipe:
             index = 0
@@ -336,6 +350,7 @@ class GenerationServiceServicer:
                     karras_rho=p.karras_rho, sigma_min=p.sigma_min,
                     sigma_max=p.sigma_max,
                     masked_area_init=p.masked_area_init, tiling=p.tiling,
+                    hints=hints,
                 )
                 imgs = np.asarray(imgs)
                 for j, seed in enumerate(batch):

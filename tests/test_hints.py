@@ -1,0 +1,81 @@
+"""ControlNet / T2I-Adapter conditioning tests (tiny configs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gyre_tpu.models import configs, controlnet, t2i_adapter
+from gyre_tpu.models.modelset import random_modelset
+from gyre_tpu.pipeline.unified import UnifiedPipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    ms = random_modelset(configs.SD_TEST, seed=0, dtype=jnp.float32)
+    return UnifiedPipeline(ms, compute_dtype=jnp.float32)
+
+
+def test_controlnet_shapes(rng_key):
+    cfg = configs.UNET_TEST
+    params = controlnet.init(rng_key, cfg)
+    x = jnp.zeros((1, 8, 8, 4))
+    cond = jnp.zeros((1, 64, 64, 3))
+    emb = controlnet.embed_condition(params, cond)
+    assert emb.shape == (1, 8, 8, cfg.block_out_channels[0])
+    ctx = jnp.zeros((1, 77, cfg.cross_attention_dim))
+    down, mid = controlnet.apply(params, cfg, x, jnp.array([1.0]), ctx, emb)
+    n_skips = 1 + cfg.levels * cfg.layers_per_block + (cfg.levels - 1)
+    assert len(down) == n_skips
+    assert mid.shape[-1] == cfg.block_out_channels[-1]
+    # zero-conv init: residuals start at zero
+    assert all(float(jnp.abs(d).max()) == 0.0 for d in down)
+
+
+def test_t2i_adapter_shapes(rng_key):
+    params = t2i_adapter.init(rng_key, channels=(32, 64, 128, 128))
+    cond = jnp.zeros((1, 64, 64, 3))
+    feats = t2i_adapter.apply(params, cond)
+    assert [f.shape for f in feats] == [
+        (1, 8, 8, 32), (1, 4, 4, 64), (1, 2, 2, 128), (1, 1, 1, 128)]
+
+
+def test_controlnet_conditioning_changes_output(pipe, rng_key):
+    cn_params = controlnet.init(rng_key, configs.UNET_TEST)
+    # zero-convs (incl. the cond-embed output conv) are zero-init by design;
+    # randomize them so conditioning flows through random weights
+    cn_params["cond_embed"]["conv_out"]["w"] = jax.random.normal(
+        rng_key, cn_params["cond_embed"]["conv_out"]["w"].shape) * 0.1
+    cn_params["mid_zero"]["w"] = jax.random.normal(
+        rng_key, cn_params["mid_zero"]["w"].shape) * 0.1
+    cn_params["zero_convs"] = [
+        {"w": jax.random.normal(jax.random.fold_in(rng_key, i),
+                                zc["w"].shape) * 0.1, "b": zc["b"]}
+        for i, zc in enumerate(cn_params["zero_convs"])]
+
+    cond_a = np.zeros((1, 64, 64, 3), np.float32)
+    cond_b = np.ones((1, 64, 64, 3), np.float32)
+    kw = dict(prompt="a cat", height=64, width=64, steps=2,
+              sampler="k_euler", seeds=[3], guidance_scale=7.5)
+    base = np.asarray(pipe(**kw))
+    a = np.asarray(pipe(hints=[{"params": cn_params, "image": cond_a,
+                                "scale": 1.0}], **kw))
+    b = np.asarray(pipe(hints=[{"params": cn_params, "image": cond_b,
+                                "scale": 1.0}], **kw))
+    assert np.abs(a - b).max() > 1e-5
+    assert np.abs(a - base).max() > 1e-5
+    # scale 0 == no conditioning
+    z = np.asarray(pipe(hints=[{"params": cn_params, "image": cond_b,
+                                "scale": 0.0}], **kw))
+    np.testing.assert_allclose(z, base, atol=1e-5)
+
+
+def test_t2i_hint_in_pipeline(pipe, rng_key):
+    ad_params = t2i_adapter.init(rng_key, channels=(32, 64, 128, 128))
+    cond = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+    kw = dict(prompt="a cat", height=64, width=64, steps=2,
+              sampler="k_euler", seeds=[3], guidance_scale=7.5)
+    base = np.asarray(pipe(**kw))
+    out = np.asarray(pipe(hints=[{"params": ad_params, "image": cond,
+                                  "kind": "t2i", "scale": 1.0}], **kw))
+    assert np.abs(out - base).max() > 1e-4

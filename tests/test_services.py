@@ -187,6 +187,19 @@ def test_ti_artifact_roundtrip(generation):
     assert answers and answers[0].artifacts[0].type == pb.ARTIFACT_IMAGE
 
 
+def test_hint_image_request(generation):
+    req = _request(steps=2)
+    hp = req.prompt.add()
+    hp.artifact.type = pb.ARTIFACT_HINT_IMAGE
+    hp.artifact.hint_image_type = "canny"
+    hint = np.zeros((1, 64, 64, 3), np.float32)
+    hint[:, :, 30:34] = 1.0
+    hp.artifact.binary = I.encode_png(hint)
+    hp.parameters.weight = 1.0
+    answers = list(generation.Generate(req, FakeGrpcContext()))
+    assert answers and answers[0].artifacts[0].type == pb.ARTIFACT_IMAGE
+
+
 def test_unknown_engine_errors(generation):
     req = _request()
     req.engine_id = "no-such-engine"
