@@ -175,15 +175,25 @@ class EngineManager:
                 return s.id
         return self.engine_ids[0] if self.engine_ids else None
 
+    def modelset(self, engine_id: str) -> ModelSet:
+        if engine_id not in self._modelsets:
+            spec = self.spec(engine_id)
+            if not spec.enabled:
+                raise EngineNotFoundError(engine_id)
+            self._modelsets[engine_id] = self._build_modelset(spec)
+        return self._modelsets[engine_id]
+
     def pipeline(self, engine_id: str) -> UnifiedPipeline:
         if engine_id not in self._pipelines:
-            if engine_id not in self._modelsets:
-                spec = self.spec(engine_id)
-                if not spec.enabled:
-                    raise EngineNotFoundError(engine_id)
-                self._modelsets[engine_id] = self._build_modelset(spec)
+            spec = self.spec(engine_id)
+            graft_ms = None
+            graft_id = spec.params.get("graft") or \
+                (spec.options or {}).get("graft")
+            if graft_id:
+                graft_ms = self.modelset(graft_id)
             self._pipelines[engine_id] = UnifiedPipeline(
-                self._modelsets[engine_id], compute_dtype=self.compute_dtype)
+                self.modelset(engine_id), compute_dtype=self.compute_dtype,
+                graft_ms=graft_ms)
         return self._pipelines[engine_id]
 
     def adapted_pipeline(self, engine_id: str, loras=None, tis=None):

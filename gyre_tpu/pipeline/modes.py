@@ -117,6 +117,104 @@ def make_inpaint_blend(init_latents, mask_keep, sigma_max, sigma_min):
     return wrap, final_blend
 
 
+def _ease_out_cubic(u):
+    return 1.0 - (1.0 - u) ** 3
+
+
+def log_progress(sigma_max, sigma_min):
+    """Schedule progress u(sigma) in [0,1], log-sigma space."""
+    log_max = jnp.log(sigma_max)
+    log_min = jnp.log(jnp.maximum(sigma_min, 1e-4))
+
+    def progress(sigma):
+        u = (log_max - jnp.log(jnp.maximum(sigma, 1e-6))) / \
+            jnp.maximum(log_max - log_min, 1e-6)
+        return jnp.clip(u, 0.0, 1.0)
+
+    return progress
+
+
+def make_hires_fix(keys, natural_h: int, natural_w: int, target_h: int,
+                   target_w: int, oos_fraction: float = 0.25,
+                   end_u: float = 0.667):
+    """Hires fix: a lo/hi latent pair denoised together with per-step
+    cross-injection (reference HiresUnetWrapper,
+    gyre/pipeline/unet/hires_fix.py:123-235).
+
+    The sampler state is [lo_padded ; hi] (batch-doubled). Each denoise
+    call splits, runs the model at both resolutions, and cross-injects the
+    x0 predictions: hi inherits lo's downscaled structure (random-map
+    merge, cubic-eased off by end_u), lo inherits hi's center detail.
+
+    Returns (wrap_denoise, initial_pack, final_unpack).
+    """
+    oy = (target_h - natural_h) // 2
+    ox = (target_w - natural_w) // 2
+
+    def pack(lo, hi):
+        lo_pad = jnp.pad(lo, [(0, 0), (oy, target_h - natural_h - oy),
+                              (ox, target_w - natural_w - ox), (0, 0)])
+        return jnp.concatenate([lo_pad, hi], axis=0)
+
+    def unpack(x):
+        lo_pad, hi = jnp.split(x, 2, axis=0)
+        lo = lo_pad[:, oy:oy + natural_h, ox:ox + natural_w]
+        return lo, hi
+
+    def wrap(denoise_lo, denoise_hi, progress):
+        """denoise_lo/hi: denoise at each resolution; progress(sigma)->u."""
+
+        def wrapped(x, sigma):
+            lo, hi = unpack(x)
+            x0_lo = denoise_lo(lo, sigma)
+            x0_hi = denoise_hi(hi, sigma)
+            u = progress(sigma)
+            factor = jnp.clip(1.0 - _ease_out_cubic(u / end_u), 0.0, 1.0)
+            # random map per sample, fixed across steps
+            rmap_hi = rngu.batched_uniform(keys, (target_h, target_w, 1))
+            rmap_lo = rmap_hi[:, oy:oy + natural_h, ox:ox + natural_w]
+            # hi <- structure from lo (upscaled)
+            lo_up = jax.image.resize(
+                x0_lo, (x0_lo.shape[0], target_h, target_w, x0_lo.shape[-1]),
+                "bicubic")
+            x0_hi = jnp.where(rmap_hi < factor, lo_up.astype(x0_hi.dtype),
+                              x0_hi)
+            # lo <- detail from hi (downscaled center)
+            hi_dn = jax.image.resize(
+                x0_hi, (x0_hi.shape[0], natural_h, natural_w,
+                        x0_hi.shape[-1]), "bicubic")
+            x0_lo = jnp.where(rmap_lo < factor, hi_dn.astype(x0_lo.dtype),
+                              x0_lo)
+            return pack(x0_lo, x0_hi)
+
+        return wrapped
+
+    return wrap, pack, unpack
+
+
+def make_graft(keys, start_u: float = 0.1):
+    """Graft two denoisers (reference GraftUnets,
+    gyre/pipeline/unet/graft.py:16-56 — powers "graftedpaint"): the root
+    model (e.g. SD1.5-inpaint) carries the structure; past start_u the top
+    model's (e.g. SD2.1) predictions blend in via an eased random map until
+    it fully takes over."""
+
+    def wrap(dn_root, dn_top, progress):
+        def wrapped(x, sigma):
+            u = progress(sigma)
+            x0_root = dn_root(x, sigma)
+            x0_top = dn_top(x, sigma)
+            factor = jnp.clip(
+                _ease_out_cubic((u - start_u) / (1.0 - start_u)), 0.0, 1.0)
+            rmap = rngu.batched_uniform(keys, x0_root.shape[1:-1] + (1,))
+            return jnp.where(rmap < factor, x0_top.astype(x0_root.dtype),
+                             x0_root)
+
+        return wrapped
+
+    return wrap
+
+
 def make_inpaint9_inputs(mask_keep, masked_image_latents):
     """Extra-channel builder for the 9-channel runway inpaint unet: the
     model consumes [x(4) | mask(1) | masked_latents(4)], with the extra

@@ -51,16 +51,22 @@ class StaticSpec:
     cfg_parallel: bool = True
     n_controlnets: int = 0
     has_adapter: bool = False
+    hires: tuple | None = None   # (natural_h, natural_w) latent dims
+    graft_cfg: object = None     # top model's UNetConfig (hashable)
+    graft_prediction: str = "epsilon"
 
 
 class UnifiedPipeline:
     """Bundles one engine's models and serves generation requests."""
 
-    def __init__(self, modelset, compute_dtype=jnp.bfloat16):
+    def __init__(self, modelset, compute_dtype=jnp.bfloat16, graft_ms=None):
         self.ms = modelset
+        self.graft_ms = graft_ms   # top model for grafted generation
         self.compute_dtype = compute_dtype
         self._core_cache: dict = {}
         self._fn_cache: dict = {}
+        self._graft_pipe = (UnifiedPipeline(graft_ms, compute_dtype)
+                            if graft_ms is not None else None)
 
     # ------------------------------------------------------------- helpers
 
@@ -167,7 +173,7 @@ class UnifiedPipeline:
         @jax.jit
         def core(unet_params, sigmas, keys, ctx_u, ctx_g, cfg_scale,
                  init_latents, mask_keep, extra_channels,
-                 controlnets=(), adapter_states=None):
+                 controlnets=(), adapter_states=None, graft=None):
             shape = (spec.height, spec.width, unet_cfg.out_channels)
             sigma_start = sigmas[0]
 
@@ -210,14 +216,76 @@ class UnifiedPipeline:
             else:
                 model = denoiser.plain_model(model_fn, ctx_g)
 
-            dn = denoiser.make_denoiser(model, schedule)
+            dn_base = denoiser.make_denoiser(model, schedule)
+
+            if spec.graft_cfg is not None and graft is not None:
+                def raw_top(params, x, t, context, **kw):
+                    out = unet_mod.apply(params, spec.graft_cfg,
+                                         x.astype(cdt), t,
+                                         context.astype(cdt),
+                                         tiling=spec.tiling, **kw)
+                    return out.astype(jnp.float32)
+
+                top_fn = partial(raw_top, graft["unet_params"])
+                if spec.guided:
+                    top_model = denoiser.cfg_model(
+                        top_fn, graft["ctx_u"], graft["ctx_g"], cfg_scale,
+                        parallel=spec.cfg_parallel)
+                else:
+                    top_model = denoiser.plain_model(top_fn, graft["ctx_g"])
+                dn_top = denoiser.make_denoiser(
+                    top_model, schedule,
+                    prediction_type=spec.graft_prediction)
+                gwrap = modes.make_graft(keys)
+                progress = modes.log_progress(
+                    sigmas[0], jnp.maximum(sigmas[-2], 1e-3))
+                dn_base = gwrap(dn_base, dn_top, progress)
+
+            dn = dn_base
 
             final_blend = None
             if spec.mode == "inpaint":
                 wrap, final_blend = modes.make_inpaint_blend(
                     init_latents, mask_keep, sigmas[0],
                     jnp.maximum(sigmas[-2], 1e-3))
-                dn = wrap(dn)
+                dn = wrap(dn_base)
+
+            if spec.hires is not None:
+                nh, nw = spec.hires
+                hwrap, pack, unpack = modes.make_hires_fix(
+                    keys, nh, nw, spec.height, spec.width)
+                progress = modes.log_progress(
+                    sigmas[0], jnp.maximum(sigmas[-2], 1e-3))
+                # per-step blending (inpaint) applies at target res only
+                dn2 = hwrap(dn_base, dn, progress)
+                if spec.mode == "txt2img":
+                    hi = modes.txt2img_initial(keys, shape, sigma_start)
+                    lo_keys = jax.vmap(
+                        lambda k: rngu.stream(k, "hires_lo"))(keys)
+                    lo = modes.txt2img_initial(
+                        lo_keys, (nh, nw, shape[-1]), sigma_start)
+                else:
+                    hi = modes.img2img_initial(init_latents, keys,
+                                               sigma_start)
+                    lo_init = jax.image.resize(
+                        init_latents,
+                        (init_latents.shape[0], nh, nw,
+                         init_latents.shape[-1]), "bicubic")
+                    lo = modes.img2img_initial(lo_init, keys, sigma_start)
+                x = pack(lo, hi)
+                keys2 = jnp.concatenate(
+                    [jax.vmap(lambda k: rngu.stream(k, "lo"))(keys), keys])
+
+                def noise_fn(i, tag):
+                    return rngu.batched_stream_normal(
+                        keys2, tag, i, (spec.height, spec.width, shape[-1]))
+
+                x0 = samplers.sample(spec.sampler, dn2, x, sigmas,
+                                     noise_fn, p)
+                _, x0 = unpack(x0)
+                if final_blend is not None:
+                    x0 = final_blend(x0)
+                return x0
 
             if spec.mode == "txt2img":
                 x = modes.txt2img_initial(keys, shape, sigma_start)
@@ -264,6 +332,8 @@ class UnifiedPipeline:
                  masked_area_init: str = "shaped",
                  tiling: bool | str = False,
                  hints: list | None = None,
+                 hires_fix: bool | None = None,
+                 hires_oos_fraction: float = 0.25,
                  return_latents: bool = False):
         """Run generation; returns images [B,H,W,3] float32 in [0,1].
 
@@ -382,6 +452,44 @@ class UnifiedPipeline:
                     adapter_states = [a + f for a, f in
                                       zip(adapter_states, feats)]
 
+        # hires fix: engage when requested and the target exceeds the
+        # model's natural resolution (reference enables past a threshold,
+        # gyre/pipeline/unified_pipeline.py:2100-2181)
+        hires = None
+        natural = ms.config.sample_size
+        if hires_fix and max(lh, lw) > natural and mode != "inpaint9":
+            mult = 2 ** (ms.config.unet.levels - 1)  # unet spatial divisor
+            aspect = lh / lw
+            area = float(natural * natural) * (1.0 + hires_oos_fraction)
+            nh = int(round((area * aspect) ** 0.5 / mult)) * mult
+            nw = int(round(area / max(nh, 1) / mult)) * mult
+            nh = min(max(nh, mult), lh)
+            nw = min(max(nw, mult), lw)
+            if (nh, nw) != (lh, lw):
+                hires = (nh, nw)
+
+        # grafted generation: second model's prompt encoding + params
+        graft_args = None
+        graft_cfg = None
+        graft_pred = "epsilon"
+        if self._graft_pipe is not None:
+            gp = self._graft_pipe
+            gctx_g = gp.encode_prompt(
+                prompts.WeightedPrompt.parse(prompt or ""),
+                pad_to_chunks=chunks)
+            gctx_g = jnp.tile(gctx_g[None], (batch, 1, 1))
+            if guided:
+                gctx_u = gp.encode_prompt(
+                    prompts.WeightedPrompt.parse(negative_prompt or ""),
+                    pad_to_chunks=chunks)
+                gctx_u = jnp.tile(gctx_u[None], (batch, 1, 1))
+            else:
+                gctx_u = gctx_g
+            graft_args = {"unet_params": gp.ms.unet_params,
+                          "ctx_g": gctx_g, "ctx_u": gctx_u}
+            graft_cfg = gp.ms.config.unet
+            graft_pred = gp.ms.schedule.prediction_type
+
         spec = StaticSpec(
             batch=batch, height=lh, width=lw, sampler=sampler,
             steps=len(sigmas_np) - 1, mode=mode, guided=guided,
@@ -390,7 +498,10 @@ class UnifiedPipeline:
             churn_tmax=float(churn_tmax) if churn_tmax else float("inf"),
             tiling=tiling_xy,
             n_controlnets=len(controlnets),
-            has_adapter=adapter_states is not None)
+            has_adapter=adapter_states is not None,
+            hires=hires,
+            graft_cfg=graft_cfg,
+            graft_prediction=graft_pred)
 
         x0 = self.core(spec)(
             self.ms.unet_params, sigmas, keys, ctx_u, ctx_g,
@@ -398,7 +509,8 @@ class UnifiedPipeline:
             extra if extra is not None
             else jnp.zeros((batch, lh, lw, 4), jnp.float32),
             controlnets=tuple(controlnets),
-            adapter_states=adapter_states)
+            adapter_states=adapter_states,
+            graft=graft_args)
 
         if return_latents:
             return x0

@@ -351,6 +351,8 @@ class GenerationServiceServicer:
                     sigma_max=p.sigma_max,
                     masked_area_init=p.masked_area_init, tiling=p.tiling,
                     hints=hints,
+                    hires_fix=p.hires_fix,
+                    hires_oos_fraction=p.hires_oos_fraction,
                 )
                 imgs = np.asarray(imgs)
                 for j, seed in enumerate(batch):

@@ -70,6 +70,27 @@ def test_controlnet_conditioning_changes_output(pipe, rng_key):
     np.testing.assert_allclose(z, base, atol=1e-5)
 
 
+def test_grafted_generation():
+    """graftedpaint: root engine + top engine blended past easing start
+    (reference tests/graftedpaint.py scenario at unit scale)."""
+    from gyre_tpu.manager.manager import EngineManager
+
+    m = EngineManager(
+        [{"id": "root", "model": {"preset": "test", "seed": 0},
+          "default": True, "graft": "top"},
+         {"id": "top", "model": {"preset": "test", "seed": 9}}],
+        compute_dtype=jnp.float32, batch_max=2)
+    m.load_engines()
+    pipe_graft = m.pipeline("root")
+    assert pipe_graft.graft_ms is not None
+    kw = dict(prompt="a tree", height=64, width=64, steps=3,
+              sampler="k_euler", seeds=[5], guidance_scale=7.5)
+    grafted = np.asarray(pipe_graft(**kw))
+    solo = np.asarray(m.pipeline("top")(**kw))
+    assert np.isfinite(grafted).all()
+    assert np.abs(grafted - solo).max() > 1e-4
+
+
 def test_t2i_hint_in_pipeline(pipe, rng_key):
     ad_params = t2i_adapter.init(rng_key, channels=(32, 64, 128, 128))
     cond = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
