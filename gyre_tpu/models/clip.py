@@ -93,6 +93,103 @@ def apply(params: Params, cfg: CLIPTextConfig, input_ids: jax.Array):
     return {"hidden_states": hidden, "last": last, "pooled": pooled}
 
 
+# ------------------------------------------------------------ vision tower
+
+
+from dataclasses import dataclass  # noqa: E402
+
+
+@dataclass(frozen=True)
+class CLIPVisionConfig:
+    image_size: int = 224
+    patch_size: int = 14
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    projection_dim: int = 768
+    activation: str = "quick_gelu"
+
+
+CLIP_VISION_L = CLIPVisionConfig()
+CLIP_VISION_TEST = CLIPVisionConfig(
+    image_size=32, patch_size=8, hidden_size=64, num_layers=2, num_heads=4,
+    intermediate_size=128, projection_dim=32)
+
+# CLIP preprocessing constants
+IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def vision_init(key, cfg: CLIPVisionConfig, dtype=jnp.float32) -> Params:
+    tcfg = CLIPTextConfig(hidden_size=cfg.hidden_size,
+                          num_layers=cfg.num_layers, num_heads=cfg.num_heads,
+                          intermediate_size=cfg.intermediate_size,
+                          activation=cfg.activation)
+    ks = jax.random.split(key, cfg.num_layers + 4)
+    n_patches = (cfg.image_size // cfg.patch_size) ** 2
+    return {
+        "patch_embed": {"w": jax.random.normal(
+            ks[0], (cfg.patch_size, cfg.patch_size, 3, cfg.hidden_size),
+            dtype) * 0.02},
+        "class_embed": jax.random.normal(ks[1], (cfg.hidden_size,),
+                                         dtype) * 0.02,
+        "position_embedding": jax.random.normal(
+            ks[2], (n_patches + 1, cfg.hidden_size), dtype) * 0.01,
+        "pre_ln": L.norm_init(cfg.hidden_size, dtype),
+        "blocks": [_block_init(ks[3 + i], tcfg, dtype)
+                   for i in range(cfg.num_layers)],
+        "post_ln": L.norm_init(cfg.hidden_size, dtype),
+        "visual_projection": L.linear_init(
+            ks[-1], cfg.hidden_size, cfg.projection_dim, dtype, bias=False),
+    }
+
+
+def _vision_block(p, x, heads, act):
+    """Non-causal transformer block (same params layout as text blocks)."""
+    b, t, d = x.shape
+    hd = d // heads
+    h = L.layer_norm(p["ln1"], x)
+    q = L.linear(p["attn"]["q"], h).reshape(b, t, heads, hd)
+    k = L.linear(p["attn"]["k"], h).reshape(b, t, heads, hd)
+    v = L.linear(p["attn"]["v"], h).reshape(b, t, heads, hd)
+    o = L.attention(q, k, v).reshape(b, t, d)
+    x = x + L.linear(p["attn"]["out"], o)
+    h = L.layer_norm(p["ln2"], x)
+    h = L.linear(p["fc2"], act(L.linear(p["fc1"], h)))
+    return x + h
+
+
+def preprocess_image(images: jax.Array) -> jax.Array:
+    """[B,H,W,3] in [0,1] -> CLIP-normalized."""
+    mean = jnp.asarray(IMAGE_MEAN, images.dtype)
+    std = jnp.asarray(IMAGE_STD, images.dtype)
+    return (images - mean) / std
+
+
+def vision_apply(params: Params, cfg: CLIPVisionConfig, images: jax.Array,
+                 normalize: bool = True):
+    """images [B, S, S, 3], CLIP-preprocessed -> dict with
+    image_embeds [B, proj], pooled [B, D], tokens [B, N+1, D]."""
+    act = L.quick_gelu if cfg.activation == "quick_gelu" else L.gelu
+    b = images.shape[0]
+    h = L.conv2d(params["patch_embed"], images, stride=cfg.patch_size,
+                 padding="VALID")
+    h = h.reshape(b, -1, cfg.hidden_size)
+    cls = jnp.broadcast_to(params["class_embed"].astype(h.dtype),
+                           (b, 1, cfg.hidden_size))
+    h = jnp.concatenate([cls, h], axis=1)
+    h = h + params["position_embedding"][None, :h.shape[1]].astype(h.dtype)
+    h = L.layer_norm(params["pre_ln"], h)
+    for blk in params["blocks"]:
+        h = _vision_block(blk, h, cfg.num_heads, act)
+    pooled = L.layer_norm(params["post_ln"], h[:, 0])
+    embeds = L.linear(params["visual_projection"], pooled)
+    if normalize:
+        embeds = embeds / jnp.linalg.norm(embeds, axis=-1, keepdims=True)
+    return {"image_embeds": embeds, "pooled": pooled, "tokens": h}
+
+
 def hidden_for_layer(params, cfg, out: dict, clip_layer: int) -> jax.Array:
     """clip_layer: -1 = final LN output; -n = nth-from-last block output with
     final layer norm applied (the SD2/penultimate convention used by

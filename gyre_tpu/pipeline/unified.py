@@ -54,6 +54,8 @@ class StaticSpec:
     hires: tuple | None = None   # (natural_h, natural_w) latent dims
     graft_cfg: object = None     # top model's UNetConfig (hashable)
     graft_prediction: str = "epsilon"
+    clip_guidance: float = 0.0   # CLIP-gradient steering scale
+    clip_cutouts: int = 4
 
 
 class UnifiedPipeline:
@@ -67,6 +69,27 @@ class UnifiedPipeline:
         self._fn_cache: dict = {}
         self._graft_pipe = (UnifiedPipeline(graft_ms, compute_dtype)
                             if graft_ms is not None else None)
+        self._clip_vision = None      # lazy (params, cfg) for guidance
+        self._clip_vision_cfg = None
+
+    def clip_vision(self):
+        """CLIP vision tower for guidance/safety; random-init when no
+        weights are configured (same compute graph)."""
+        if self._clip_vision is None:
+            from ..models import clip as clip_mod
+
+            import dataclasses as dc
+
+            text_dim = self.ms.config.text_encoders[0].hidden_size
+            base_cfg = (clip_mod.CLIP_VISION_L if text_dim >= 768
+                        else clip_mod.CLIP_VISION_TEST)
+            cfg = dc.replace(base_cfg, projection_dim=text_dim)
+            self._clip_vision_cfg = cfg
+            self._clip_vision = clip_mod.vision_init(
+                jax.random.PRNGKey(0), cfg,
+                jnp.float32 if self.compute_dtype == jnp.float32
+                else jnp.bfloat16)
+        return self._clip_vision
 
     # ------------------------------------------------------------- helpers
 
@@ -173,7 +196,8 @@ class UnifiedPipeline:
         @jax.jit
         def core(unet_params, sigmas, keys, ctx_u, ctx_g, cfg_scale,
                  init_latents, mask_keep, extra_channels,
-                 controlnets=(), adapter_states=None, graft=None):
+                 controlnets=(), adapter_states=None, graft=None,
+                 clip_vision=None, clip_target=None):
             shape = (spec.height, spec.width, unet_cfg.out_channels)
             sigma_start = sigmas[0]
 
@@ -240,6 +264,15 @@ class UnifiedPipeline:
                 progress = modes.log_progress(
                     sigmas[0], jnp.maximum(sigmas[-2], 1e-3))
                 dn_base = gwrap(dn_base, dn_top, progress)
+
+            if spec.clip_guidance > 0 and clip_vision is not None:
+                from . import clip_guidance as cg
+
+                dn_base = cg.make_clip_guided_denoiser(
+                    dn_base, clip_vision, self._clip_vision_cfg,
+                    clip_target, keys,
+                    guidance_scale=spec.clip_guidance,
+                    num_cutouts=spec.clip_cutouts)
 
             dn = dn_base
 
@@ -334,6 +367,8 @@ class UnifiedPipeline:
                  hints: list | None = None,
                  hires_fix: bool | None = None,
                  hires_oos_fraction: float = 0.25,
+                 clip_guidance_scale: float = 0.0,
+                 clip_cutouts: int = 4,
                  return_latents: bool = False):
         """Run generation; returns images [B,H,W,3] float32 in [0,1].
 
@@ -501,7 +536,24 @@ class UnifiedPipeline:
             has_adapter=adapter_states is not None,
             hires=hires,
             graft_cfg=graft_cfg,
-            graft_prediction=graft_pred)
+            graft_prediction=graft_pred,
+            clip_guidance=float(clip_guidance_scale),
+            clip_cutouts=int(clip_cutouts))
+
+        clip_vision_params = None
+        clip_target = None
+        if clip_guidance_scale > 0:
+            clip_vision_params = self.clip_vision()
+            ids, _, _ = prompts.tokenize_weighted(
+                self.ms.tokenizer, prompts.WeightedPrompt.parse(prompt or ""))
+            te_cfg = self.ms.config.text_encoders[0]
+            from ..models import clip as clip_mod
+
+            out = clip_mod.apply(self.ms.text_params[0], te_cfg,
+                                 jnp.asarray(ids[:1]))
+            pooled = out["pooled"]
+            pooled = pooled / jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+            clip_target = jnp.tile(pooled, (batch, 1))
 
         x0 = self.core(spec)(
             self.ms.unet_params, sigmas, keys, ctx_u, ctx_g,
@@ -510,7 +562,9 @@ class UnifiedPipeline:
             else jnp.zeros((batch, lh, lw, 4), jnp.float32),
             controlnets=tuple(controlnets),
             adapter_states=adapter_states,
-            graft=graft_args)
+            graft=graft_args,
+            clip_vision=clip_vision_params,
+            clip_target=clip_target)
 
         if return_latents:
             return x0

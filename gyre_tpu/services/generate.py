@@ -64,6 +64,7 @@ class ExtractedParams:
     masked_area_init: str = "shaped"
     hires_fix: bool | None = None
     hires_oos_fraction: float = 0.25
+    clip_guidance_scale: float = 0.0
     tiling: bool | str = False
     clip_layer: int = 0
     echo_artifacts: list = field(default_factory=list)
@@ -163,6 +164,13 @@ def extract_params(request: pb.Request) -> ExtractedParams:
         if sp.HasField("schedule"):
             if sp.schedule.HasField("start"):
                 p.strength = sp.schedule.start
+        if sp.HasField("guidance"):
+            g = sp.guidance
+            if g.guidance_preset != pb.GUIDANCE_PRESET_NONE:
+                p.clip_guidance_scale = 0.5
+                for inst in g.instances:
+                    if inst.HasField("guidance_strength"):
+                        p.clip_guidance_scale = inst.guidance_strength
 
     if img.HasField("masked_area_init"):
         p.masked_area_init = {
@@ -285,6 +293,18 @@ class GenerationServiceServicer:
         self.debug_recorder = debug_recorder
         self._async: dict[str, AsyncContext] = {}
         self._async_lock = threading.Lock()
+        self._safety = None
+
+    def _safety_check(self, images) -> np.ndarray:
+        """bool[B] nsfw flags (reference flags but never blacks out,
+        gyre/pipeline/safety_checkers.py)."""
+        if self.nsfw_behaviour == "ignore":
+            return np.zeros((images.shape[0],), bool)
+        if self._safety is None:
+            from ..pipeline.safety import SafetyChecker
+
+            self._safety = SafetyChecker.random()
+        return self._safety.check(images)
 
     # ------------------------------------------------------------ Generate
 
@@ -353,16 +373,18 @@ class GenerationServiceServicer:
                     hints=hints,
                     hires_fix=p.hires_fix,
                     hires_oos_fraction=p.hires_oos_fraction,
+                    clip_guidance_scale=p.clip_guidance_scale,
                 )
                 imgs = np.asarray(imgs)
+                flags = self._safety_check(imgs)
                 for j, seed in enumerate(batch):
                     md = dict(meta, seed=seed, index=index)
                     md = {k: str(v) for k, v in md.items()}
-                    yield imgs[j], seed, index, md
+                    yield imgs[j], seed, index, md, bool(flags[j])
                     index += 1
             # echo artifacts
             for art in p.echo_artifacts:
-                yield art, None, index, None
+                yield art, None, index, None, False
                 index += 1
 
     @exception_to_grpc()
@@ -371,12 +393,14 @@ class GenerationServiceServicer:
         if context is not None and hasattr(context, "add_callback"):
             context.add_callback(stop_event.set)
         recv = int(time.time())
-        for item, seed, index, md in self._run_request(request, stop_event):
+        for item, seed, index, md, nsfw in self._run_request(request,
+                                                             stop_event):
             if isinstance(item, pb.Artifact):
                 artifact = item
             else:
-                artifact = image_to_artifact(item, index=index, seed=seed,
-                                             metadata=md)
+                artifact = image_to_artifact(
+                    item, index=index, seed=seed, metadata=md,
+                    finish_reason=pb.FILTER if nsfw else pb.NULL)
             yield pb.Answer(
                 answer_id=f"{request.request_id}-{index}",
                 request_id=request.request_id,
