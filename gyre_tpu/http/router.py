@@ -159,8 +159,18 @@ class HttpHandler(BaseHTTPRequestHandler):
                 "Authorization, Content-Type, x-grpc-web, x-user-agent",
         })
 
+    image_cache = None
+    log_store = None
+
     def do_GET(self):
         path = self.path.split("?")[0]
+        if path.startswith("/log/") and self.image_cache is not None:
+            data = self.image_cache.get(path[5:])
+            if data is None:
+                return self._send_json({"message": "not found"}, 404)
+            return self._send(200, "image/png", data)
+        if path == "/log" and self.log_store is not None:
+            return self._send_json({"log": self.log_store.tail(200)})
         if path == "/server.json":
             return self._send_json({
                 "name": "gyre-tpu",
@@ -289,12 +299,15 @@ class HttpHandler(BaseHTTPRequestHandler):
 
 
 def make_http_server(host: str, port: int, *, manager, generation, engines,
-                     access_keys=None) -> ThreadingHTTPServer:
+                     access_keys=None, image_cache=None,
+                     log_store=None) -> ThreadingHTTPServer:
     handler = type("BoundHandler", (HttpHandler,), {
         "manager": manager,
         "generation": generation,
         "engines": engines,
         "access_keys": set(access_keys or []) or {},
+        "image_cache": image_cache,
+        "log_store": log_store,
     })
     return ThreadingHTTPServer((host, port), handler)
 

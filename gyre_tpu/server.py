@@ -60,9 +60,24 @@ def parse_args(argv=None):
     tpu.add_argument("--dtype", type=str, default="bfloat16",
                      choices=["bfloat16", "float32"])
 
+    res = p.add_argument_group("resources")
+    res.add_argument("--cache_path", type=str,
+                     default=os.environ.get("SD_CACHE_PATH", "/tmp/gyre-cache"))
+    res.add_argument("--cache_ram", type=int,
+                     default=int(os.environ.get("SD_CACHE_RAM", 500)),
+                     help="memory cache budget, MB")
+    res.add_argument("--local_resource", action="append",
+                     dest="local_resources",
+                     default=environ_list("SD_LOCAL_RESOURCE") or None,
+                     help="prefix=path local resource mappings")
+    res.add_argument("--allow_network_resources", action="store_true",
+                     default=environ_bool("SD_ALLOW_NETWORK_RESOURCES"))
+
     dbg = p.add_argument_group("debug")
     dbg.add_argument("--vram_debug", action="store_true",
                      default=environ_bool("SD_VRAM_DEBUG"))
+    dbg.add_argument("--debug_recording", action="store_true",
+                     default=environ_bool("SD_DEBUG_RECORDING"))
     dbg.add_argument("--log_level", type=str,
                      default=os.environ.get("SD_LOG_LEVEL", "INFO"))
     return p.parse_args(argv)
@@ -125,9 +140,6 @@ class TokenAuthInterceptor:
 
 def main(argv=None):
     args = parse_args(argv)
-    logging.basicConfig(
-        level=getattr(logging, args.log_level.upper(), logging.INFO),
-        format="%(asctime)s %(levelname).1s %(name)s: %(message)s")
 
     import grpc
 
@@ -135,13 +147,39 @@ def main(argv=None):
     from .services.dashboard import DashboardServiceServicer
     from .services.engines import EnginesServiceServicer
     from .services.generate import GenerationServiceServicer
+    from .utils.cache import DiskCache, DualCache, MemoryLRUCache
+    from .utils.debug_recorder import DebugNullRecorder, DebugRecorder
+    from .utils.logview import configure_logging
+    from .utils.monitor import ResourceMonitor
+    from .utils.resources import ResourceProvider
+
+    cache = DualCache(
+        MemoryLRUCache(max_bytes=args.cache_ram * 1024 * 1024,
+                       default_ttl=3600.0),
+        DiskCache(args.cache_path) if args.cache_path else None)
+    log_store = configure_logging(
+        getattr(logging, args.log_level.upper(), logging.INFO),
+        image_cache=cache)
+
+    local_roots = {}
+    for item in args.local_resources or []:
+        prefix, _, path = item.partition("=")
+        local_roots[prefix] = path
+    resources = ResourceProvider(cache, local_roots=local_roots,
+                                 allow_network=args.allow_network_resources)
+
+    recorder = (DebugRecorder(os.path.join(args.cache_path, "debug"))
+                if args.debug_recording else DebugNullRecorder())
+    monitor = ResourceMonitor().start()
 
     t0 = time.time()
     manager = build_manager(args)
+    manager.resources = resources
 
     generation = GenerationServiceServicer(manager,
                                            nsfw_behaviour=args.nsfw_behaviour,
-                                           batch_max=args.batch_max)
+                                           batch_max=args.batch_max,
+                                           debug_recorder=recorder)
     engines = EnginesServiceServicer(manager)
     dashboard = DashboardServiceServicer()
 
@@ -166,11 +204,13 @@ def main(argv=None):
     http_server = make_http_server(
         http_host, args.http_port, manager=manager, generation=generation,
         engines=engines,
-        access_keys=[args.access_token] if args.access_token else None)
+        access_keys=[args.access_token] if args.access_token else None,
+        image_cache=cache, log_store=log_store)
     start_http_server(http_server)
     logger.info("HTTP listening on %s:%d", http_host or "*", args.http_port)
 
     manager.load_engines()
+    monitor.log("engines loaded")
     logger.info("engines ready in %.1fs: %s", time.time() - t0,
                 ", ".join(manager.engine_ids))
 
@@ -180,8 +220,9 @@ def main(argv=None):
         logger.info("shutting down")
         stop.set()
 
-    signal.signal(signal.SIGINT, shutdown)
-    signal.signal(signal.SIGTERM, shutdown)
+    if threading.current_thread() is threading.main_thread():
+        signal.signal(signal.SIGINT, shutdown)
+        signal.signal(signal.SIGTERM, shutdown)
     stop.wait()
     http_server.shutdown()
     grpc_server.stop(grace=2).wait()

@@ -392,6 +392,12 @@ class GenerationServiceServicer:
         stop_event = threading.Event()
         if context is not None and hasattr(context, "add_callback"):
             context.add_callback(stop_event.set)
+        if self.debug_recorder is not None:
+            with self.debug_recorder.record("generate") as store:
+                store.store("engine", request.engine_id)
+                store.store("request_id", request.request_id)
+                store.store("prompts", [p.text for p in request.prompt
+                                        if p.WhichOneof("prompt") == "text"])
         recv = int(time.time())
         for item, seed, index, md, nsfw in self._run_request(request,
                                                              stop_event):

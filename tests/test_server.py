@@ -1,0 +1,97 @@
+"""Full server boot test: gRPC + HTTP up, engines loaded, request served
+over a real gRPC channel (the reference's server-level integration)."""
+
+import os
+import socket
+import threading
+import time
+import urllib.request
+
+import grpc
+import numpy as np
+import pytest
+
+from gyre_tpu.generated import generation_pb2 as pb
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def server_ports(tmp_path_factory):
+    from gyre_tpu import server as server_mod
+    from gyre_tpu.http import stability_rest
+
+    stability_rest.LIMITS["height"] = (64, 2048)
+    stability_rest.LIMITS["width"] = (64, 2048)
+
+    grpc_port, http_port = _free_port(), _free_port()
+    cfg = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "engines.test.yaml")
+    cache = str(tmp_path_factory.mktemp("cache"))
+    argv = ["--grpc_port", str(grpc_port), "--http_port", str(http_port),
+            "--enginecfg", cfg, "--dtype", "float32",
+            "--cache_path", cache, "--batch_max", "2"]
+    t = threading.Thread(target=server_mod.main, args=(argv,), daemon=True)
+    t.start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        try:
+            with urllib.request.urlopen(
+                    f"http://localhost:{http_port}/status", timeout=2) as r:
+                if r.status == 200:
+                    break
+        except Exception:  # noqa: BLE001
+            time.sleep(0.5)
+    else:
+        pytest.fail("server did not come up")
+    yield grpc_port, http_port
+
+
+def test_grpc_generate_roundtrip(server_ports):
+    grpc_port, _ = server_ports
+    channel = grpc.insecure_channel(f"localhost:{grpc_port}")
+    req = pb.Request(engine_id="test-engine", request_id="it-1")
+    p = req.prompt.add()
+    p.text = "integration test"
+    req.image.height = 64
+    req.image.width = 64
+    req.image.steps = 2
+    req.image.seed.append(11)
+    call = channel.unary_stream(
+        "/gooseai.GenerationService/Generate",
+        request_serializer=pb.Request.SerializeToString,
+        response_deserializer=pb.Answer.FromString)
+    answers = list(call(req, timeout=180))
+    assert len(answers) == 1
+    art = answers[0].artifacts[0]
+    assert art.type == pb.ARTIFACT_IMAGE and art.seed == 11
+    assert art.binary[:4] == b"\x89PNG"
+
+
+def test_grpc_list_engines(server_ports):
+    from gyre_tpu.generated import engines_pb2 as epb
+
+    grpc_port, _ = server_ports
+    channel = grpc.insecure_channel(f"localhost:{grpc_port}")
+    call = channel.unary_unary(
+        "/gooseai.EnginesService/ListEngines",
+        request_serializer=epb.ListEnginesRequest.SerializeToString,
+        response_deserializer=epb.Engines.FromString)
+    out = call(epb.ListEnginesRequest(), timeout=30)
+    assert [e.id for e in out.engine] == ["test-engine"]
+
+
+def test_http_surface(server_ports):
+    import json
+
+    _, http_port = server_ports
+    with urllib.request.urlopen(
+            f"http://localhost:{http_port}/server.json") as r:
+        assert "stability-rest-v1" in json.loads(r.read())["api"]
+    with urllib.request.urlopen(f"http://localhost:{http_port}/log") as r:
+        log = json.loads(r.read())["log"]
+    assert any("engines ready" in e["message"] for e in log)
