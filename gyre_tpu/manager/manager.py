@@ -257,6 +257,32 @@ class EngineManager:
         with self._dispatch_lock:
             yield pipe
 
+    def task_pipeline(self, task: str, engine_id: str | None = None):
+        """Non-generate task engines (upscalers now; hinters as they land).
+        Returns a callable pipeline or None (reference borrows engines by
+        task, gyre/manager.py with_engine(task=...))."""
+        task = {"upscale": "upscaler"}.get(task, task)
+        candidates = [s for s in self.specs
+                      if s.enabled and s.task == task and
+                      (engine_id is None or s.id == engine_id)]
+        if not candidates:
+            return None
+        spec = candidates[0]
+        key = ("task", spec.id)
+        if key not in self._adapted:
+            if spec.task == "upscaler":
+                from ..pipeline.upscaler import build_esrgan_pipeline
+
+                path = spec.model if isinstance(spec.model, str) and \
+                    not spec.model.startswith("preset/") else None
+                self._adapted[key] = build_esrgan_pipeline(
+                    path, num_blocks=int(spec.params.get("blocks", 23)),
+                    tile=int(spec.params.get("tile", 128)),
+                    compute_dtype=self.compute_dtype)
+            else:
+                return None
+        return self._adapted[key]
+
     def hint_model(self, hint_type: str, engine_id: str | None = None):
         """Conditioning model for a hint type, matched to the engine's
         unet architecture."""

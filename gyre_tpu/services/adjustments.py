@@ -1,0 +1,200 @@
+"""ImageAdjustment dispatch: the protocol's 17 image-operation messages
+applied to tensors (reference apply_image_adjustment,
+gyre/services/generate.py:166-386).
+
+Pure-tensor ops run through ops/images; model-backed ops (depth /
+segmentation / pose / background removal) borrow task engines from the
+manager when configured, with documented tensor fallbacks (normal maps
+derive from depth; edge detection falls back to sobel) so chains keep
+working on deployments without hinter models.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..generated import generation_pb2 as pb
+from ..ops import images as I
+
+logger = logging.getLogger(__name__)
+
+_RESCALE_FIT = {
+    pb.RESCALE_STRICT: "strict",
+    pb.RESCALE_COVER: "cover",
+    pb.RESCALE_CONTAIN_ZERO: "contain",
+    pb.RESCALE_CONTAIN_REPLICATE: "contain",
+    pb.RESCALE_CONTAIN_REFLECT: "contain",
+}
+
+_CHANNEL_NAMES = {pb.CHANNEL_R: "r", pb.CHANNEL_G: "g", pb.CHANNEL_B: "b",
+                  pb.CHANNEL_A: "a", pb.CHANNEL_ZERO: "zero",
+                  pb.CHANNEL_ONE: "one"}
+
+
+def apply_image_adjustment(image: jnp.ndarray, adjustments,
+                           manager=None, engine_id: str | None = None,
+                           seed: int = 0) -> jnp.ndarray:
+    """image [B,H,W,C] float 0..1; adjustments: repeated ImageAdjustment."""
+    img = jnp.asarray(image, jnp.float32)
+    for adj in adjustments:
+        which = adj.WhichOneof("adjustment")
+        if which is None:
+            continue
+        img = _APPLIERS[which](img, getattr(adj, which), manager, engine_id,
+                               seed)
+    return img
+
+
+def _blur(img, a, *_):
+    direction = {pb.DIRECTION_UP: "up", pb.DIRECTION_DOWN: "down"}.get(
+        a.direction)
+    if direction:
+        return I.directionalblur(img, a.sigma or 1.0, direction)
+    return I.gaussian_blur(img, a.sigma or 1.0)
+
+
+def _invert(img, a, *_):
+    return I.invert(img)
+
+
+def _levels(img, a, *_):
+    return I.levels(img, a.input_low, a.input_high or 1.0, a.output_low,
+                    a.output_high or 1.0)
+
+
+def _channels(img, a, *_):
+    # build output channel-by-channel from sources
+    b, h, w, c = img.shape
+    srcs = [a.r, a.g, a.b, a.a]
+    outs = []
+    for i, src in enumerate(srcs):
+        if src == pb.CHANNEL_DISCARD:
+            continue
+        name = _CHANNEL_NAMES.get(src, "zero")
+        if name == "zero":
+            outs.append(jnp.zeros((b, h, w, 1), img.dtype))
+        elif name == "one":
+            outs.append(jnp.ones((b, h, w, 1), img.dtype))
+        else:
+            idx = I.CHANNEL_INDEX[name]
+            if idx < c:
+                outs.append(img[..., idx:idx + 1])
+            else:
+                outs.append(jnp.ones((b, h, w, 1), img.dtype))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _rescale(img, a, *_):
+    return I.rescale(img, a.height, a.width,
+                     fit=_RESCALE_FIT.get(a.mode, "strict"))
+
+
+def _autoscale(img, a, *_):
+    return I.autoscale(img, a.height or img.shape[1],
+                       a.width or img.shape[2])
+
+
+def _crop(img, a, *_):
+    return I.crop(img, a.top, a.left, a.height or img.shape[1] - a.top,
+                  a.width or img.shape[2] - a.left)
+
+
+def _canny(img, a, *_):
+    edges = I.canny_edge(img, a.low_threshold or 0.1,
+                         a.high_threshold or 0.2)
+    return jnp.tile(edges, (1, 1, 1, 3))
+
+
+def _edge(img, a, manager, engine_id, seed):
+    """HED-style soft edge; falls back to sobel magnitude."""
+    model = _task_engine(manager, "edge", engine_id)
+    if model is not None:
+        return model(img)
+    mag, _ = I.sobel_edges(I.gaussian_blur(img, 1.0))
+    return jnp.tile(jnp.clip(mag * 2.0, 0, 1), (1, 1, 1, 3))
+
+
+def _depth(img, a, manager, engine_id, seed):
+    model = _task_engine(manager, "depth", engine_id)
+    if model is not None:
+        return model(img)
+    # luminance+blur proxy keeps chains runnable without a depth engine
+    logger.warning("no depth engine configured; using luminance proxy")
+    g = I.gaussian_blur(I.to_grayscale(img), 2.0)
+    return jnp.tile(I.normalise(g), (1, 1, 1, 3))
+
+
+def _segmentation(img, a, manager, engine_id, seed):
+    model = _task_engine(manager, "segmentation", engine_id)
+    if model is not None:
+        return model(img)
+    return I.palletize(I.gaussian_blur(img, 4.0), 8)
+
+
+def _pose(img, a, manager, engine_id, seed):
+    model = _task_engine(manager, "pose", engine_id)
+    if model is not None:
+        return model(img)
+    raise NotImplementedError(
+        "pose estimation requires a configured pose engine")
+
+
+def _normal(img, a, *_):
+    depth = I.to_grayscale(img)
+    if a.preblur:
+        depth = I.gaussian_blur(depth, a.preblur)
+    n = I.normalmap_from_depthmap(depth,
+                                  a.background_threshold or 0.05)
+    if a.postblur:
+        n = I.gaussian_blur(n, a.postblur)
+    return n
+
+
+def _background_removal(img, a, manager, engine_id, seed):
+    model = _task_engine(manager, "background_removal", engine_id)
+    if model is not None:
+        return model(img)
+    # contrast-based saliency fallback: center-weighted threshold mask
+    g = I.gaussian_blur(I.to_grayscale(img), 4.0)
+    edge = jnp.abs(g - jnp.mean(g, axis=(1, 2, 3), keepdims=True))
+    mask = (I.normalise(edge) > 0.25).astype(img.dtype)
+    return jnp.concatenate([img[..., :3], mask], axis=-1)
+
+
+def _palletize(img, a, *_):
+    return I.palletize(img, a.colours or 16)
+
+
+def _quantize(img, a, *_):
+    return I.quantize(img, a.threshold or 0.5)
+
+
+def _shuffle(img, a, manager, engine_id, seed):
+    return I.shuffle(img, jax.random.PRNGKey(seed))
+
+
+def _task_engine(manager, task: str, engine_id):
+    """Borrow a task pipeline (depth/edge/...) from the manager if one is
+    configured (reference borrows engines by task,
+    gyre/services/generate.py:166-386)."""
+    if manager is None:
+        return None
+    getter = getattr(manager, "task_pipeline", None)
+    if getter is None:
+        return None
+    return getter(task, engine_id)
+
+
+_APPLIERS = {
+    "blur": _blur, "invert": _invert, "levels": _levels,
+    "channels": _channels, "rescale": _rescale, "autoscale": _autoscale,
+    "crop": _crop, "canny_edge": _canny, "edge_detection": _edge,
+    "depth": _depth, "segmentation": _segmentation, "keypose": _pose,
+    "openpose": _pose, "normal": _normal,
+    "background_removal": _background_removal, "palletize": _palletize,
+    "quantize": _quantize, "shuffle": _shuffle,
+}

@@ -73,9 +73,17 @@ class ExtractedParams:
     hint_images: list = field(default_factory=list)
 
 
-def extract_params(request: pb.Request) -> ExtractedParams:
+def extract_params(request: pb.Request, adjuster=None) -> ExtractedParams:
+    """adjuster(img, adjustments) applies ImageAdjustment chains (wired to
+    services/adjustments.py by the servicer; None skips them)."""
     p = ExtractedParams(engine_id=request.engine_id,
                         request_id=request.request_id)
+
+    def adjust(img, art, post=False):
+        chain = art.postAdjustments if post else art.adjustments
+        if adjuster is not None and len(chain):
+            return np.asarray(adjuster(img, chain))
+        return img
 
     pos, neg = [], []
     for prompt in request.prompt:
@@ -95,7 +103,7 @@ def extract_params(request: pb.Request) -> ExtractedParams:
         elif which == "artifact":
             art = prompt.artifact
             if art.type == pb.ARTIFACT_IMAGE:
-                img = I.decode_png(art.binary)
+                img = adjust(I.decode_png(art.binary), art)
                 if prompt.HasField("parameters") and \
                         prompt.parameters.init:
                     p.init_image = img[..., :3]
@@ -108,7 +116,8 @@ def extract_params(request: pb.Request) -> ExtractedParams:
                 if prompt.echo_back:
                     p.echo_artifacts.append(art)
             elif art.type == pb.ARTIFACT_MASK:
-                mask = I.decode_png(art.binary)
+                mask = adjust(I.decode_png(art.binary), art)
+                mask = adjust(mask, art, post=True)
                 p.mask_image = mask[..., :1]
             elif art.type == pb.ARTIFACT_LORA:
                 p.lora_artifacts.append((art, weight))
@@ -309,8 +318,30 @@ class GenerationServiceServicer:
     # ------------------------------------------------------------ Generate
 
     def _run_request(self, request: pb.Request, stop_event=None):
-        """Yield (image, seed, index, metadata) for one request."""
-        p = extract_params(request)
+        """Yield (image, seed, index, metadata, nsfw) for one request."""
+        from . import adjustments as adj_mod
+
+        def adjuster(img, chain):
+            return adj_mod.apply_image_adjustment(
+                img, chain, self.manager, request.engine_id or None)
+
+        p = extract_params(request, adjuster=adjuster)
+
+        # upscaler engines: transform the init image, no diffusion
+        if p.engine_id:
+            try:
+                spec = self.manager.spec(p.engine_id)
+            except KeyError:
+                spec = None
+            if spec is not None and spec.task in ("upscaler", "upscale"):
+                if p.init_image is None:
+                    raise ValueError("upscale request needs an init image")
+                up = self.manager.task_pipeline("upscaler", p.engine_id)
+                out = up(p.init_image)
+                yield out[0], (p.seeds[0] if p.seeds else 0), 0, {
+                    "engine": p.engine_id, "op": "upscale"}, False
+                return
+
         seeds = fill_seeds(p)
 
         meta = {
