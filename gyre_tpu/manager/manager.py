@@ -108,6 +108,10 @@ class EngineManager:
         # concurrently (reference used a blocking device queue instead)
         self._dispatch_lock = threading.RLock()
         self._loaded = False
+        from .scheduler import CoalescingDispatcher
+
+        self.dispatcher = CoalescingDispatcher(max_batch=max(batch_max * 2,
+                                                             8))
 
     # ------------------------------------------------------------ loading
 

@@ -58,12 +58,18 @@ def cfg_model(unet_fn, context_uncond, context_cond, guidance_scale,
     always right, the MXU loves the bigger batch.
 
     Returns model_fn(x, t) with guidance folded in. guidance_scale may be a
-    python float or a traced scalar.
+    python float, a traced scalar, or a per-sample [B] vector (request
+    coalescing batches requests with different cfg_scales).
     """
     extra_uncond = extra_uncond or {}
     extra_cond = extra_cond or {}
 
     def fn(x, t):
+        scale = jnp.asarray(guidance_scale, jnp.float32)
+        if scale.ndim == 1:
+            scale = scale[:, None, None, None].astype(x.dtype)
+        else:
+            scale = scale.astype(x.dtype)
         if parallel:
             x2 = jnp.concatenate([x, x], axis=0)
             t2 = jnp.concatenate([t, t], axis=0)
@@ -81,7 +87,7 @@ def cfg_model(unet_fn, context_uncond, context_cond, guidance_scale,
         else:
             un = unet_fn(x, t, context_uncond, **extra_uncond)
             gu = unet_fn(x, t, context_cond, **extra_cond)
-        return un + guidance_scale * (gu - un)
+        return un + scale * (gu - un)
 
     return fn
 

@@ -404,19 +404,45 @@ class UnifiedPipeline:
             karras_rho=karras_rho, sigma_min=sigma_min, sigma_max=sigma_max)
         sigmas = jnp.asarray(sigmas_np, jnp.float32)
 
-        chunks = self.chunk_count(prompt, negative_prompt)
-        guided = guidance_scale > 1.0
+        # prompts may be per-sample lists (request coalescing merges
+        # different prompts/cfg scales into one batch)
+        prompt_list = prompt if isinstance(prompt, (list, tuple)) else None
+        neg_list = negative_prompt \
+            if isinstance(negative_prompt, (list, tuple)) else None
+        gs = np.asarray(guidance_scale, np.float32).reshape(-1)
+        guided = bool((gs > 1.0).any())
+        gs_arg = (jnp.asarray(np.broadcast_to(gs, (batch,)))
+                  if gs.size > 1 else jnp.float32(float(gs[0])))
 
-        ctx_g = self.encode_prompt(prompts.WeightedPrompt.parse(prompt or ""),
+        if prompt_list is not None:
+            chunks = self.chunk_count(*(list(prompt_list) +
+                                        list(neg_list or [])))
+            ctx_g = jnp.stack([
+                self.encode_prompt(prompts.WeightedPrompt.parse(t or ""),
                                    pad_to_chunks=chunks)
-        ctx_g = jnp.tile(ctx_g[None], (batch, 1, 1))
-        if guided:
-            ctx_u = self.encode_prompt(
-                prompts.WeightedPrompt.parse(negative_prompt or ""),
-                pad_to_chunks=chunks)
-            ctx_u = jnp.tile(ctx_u[None], (batch, 1, 1))
+                for t in prompt_list])
+            if guided:
+                negs = neg_list or [""] * batch
+                ctx_u = jnp.stack([
+                    self.encode_prompt(
+                        prompts.WeightedPrompt.parse(t or ""),
+                        pad_to_chunks=chunks)
+                    for t in negs])
+            else:
+                ctx_u = ctx_g
         else:
-            ctx_u = ctx_g
+            chunks = self.chunk_count(prompt, negative_prompt or "")
+            ctx_g = self.encode_prompt(
+                prompts.WeightedPrompt.parse(prompt or ""),
+                pad_to_chunks=chunks)
+            ctx_g = jnp.tile(ctx_g[None], (batch, 1, 1))
+            if guided:
+                ctx_u = self.encode_prompt(
+                    prompts.WeightedPrompt.parse(negative_prompt or ""),
+                    pad_to_chunks=chunks)
+                ctx_u = jnp.tile(ctx_u[None], (batch, 1, 1))
+            else:
+                ctx_u = ctx_g
 
         init_latents = jnp.zeros((batch, lh, lw, 4), jnp.float32)
         mask_keep = jnp.ones((batch, lh, lw, 1), jnp.float32)
@@ -509,13 +535,15 @@ class UnifiedPipeline:
         graft_pred = "epsilon"
         if self._graft_pipe is not None:
             gp = self._graft_pipe
+            gprompt = prompt_list[0] if prompt_list else prompt
+            gneg = (neg_list[0] if neg_list else negative_prompt) or ""
             gctx_g = gp.encode_prompt(
-                prompts.WeightedPrompt.parse(prompt or ""),
+                prompts.WeightedPrompt.parse(gprompt or ""),
                 pad_to_chunks=chunks)
             gctx_g = jnp.tile(gctx_g[None], (batch, 1, 1))
             if guided:
                 gctx_u = gp.encode_prompt(
-                    prompts.WeightedPrompt.parse(negative_prompt or ""),
+                    prompts.WeightedPrompt.parse(gneg),
                     pad_to_chunks=chunks)
                 gctx_u = jnp.tile(gctx_u[None], (batch, 1, 1))
             else:
@@ -544,8 +572,10 @@ class UnifiedPipeline:
         clip_target = None
         if clip_guidance_scale > 0:
             clip_vision_params = self.clip_vision()
+            cg_prompt = prompt_list[0] if prompt_list else prompt
             ids, _, _ = prompts.tokenize_weighted(
-                self.ms.tokenizer, prompts.WeightedPrompt.parse(prompt or ""))
+                self.ms.tokenizer,
+                prompts.WeightedPrompt.parse(cg_prompt or ""))
             te_cfg = self.ms.config.text_encoders[0]
             from ..models import clip as clip_mod
 
@@ -557,7 +587,7 @@ class UnifiedPipeline:
 
         x0 = self.core(spec)(
             self.ms.unet_params, sigmas, keys, ctx_u, ctx_g,
-            jnp.float32(guidance_scale), init_latents, mask_keep,
+            gs_arg, init_latents, mask_keep,
             extra if extra is not None
             else jnp.zeros((batch, lh, lw, 4), jnp.float32),
             controlnets=tuple(controlnets),

@@ -378,6 +378,8 @@ class GenerationServiceServicer:
             hints.append({"params": model["params"], "kind": model["kind"],
                           "image": img[..., :3], "scale": weight})
 
+        from ..manager.scheduler import Job
+
         with self.manager.with_engine(p.engine_id or None, loras=loras,
                                       tis=tis) as pipe:
             index = 0
@@ -385,7 +387,7 @@ class GenerationServiceServicer:
                 if stop_event is not None and stop_event.is_set():
                     return
                 batch = seeds[i:i + self.batch_max]
-                imgs = pipe(
+                kwargs = dict(
                     prompt=p.prompt, negative_prompt=p.negative_prompt,
                     height=p.height, width=p.width, steps=p.steps,
                     sampler=p.sampler, seeds=batch,
@@ -406,6 +408,13 @@ class GenerationServiceServicer:
                     hires_oos_fraction=p.hires_oos_fraction,
                     clip_guidance_scale=p.clip_guidance_scale,
                 )
+                if Job(pipe, kwargs).coalesce_key() is not None:
+                    # coalescible: concurrent clients share one compiled
+                    # batch through the dispatcher
+                    imgs = self.manager.dispatcher.submit(
+                        pipe, kwargs, stop_event).result()
+                else:
+                    imgs = pipe(**kwargs)
                 imgs = np.asarray(imgs)
                 flags = self._safety_check(imgs)
                 for j, seed in enumerate(batch):
