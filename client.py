@@ -1,0 +1,212 @@
+#!/usr/bin/env python
+"""gyre-tpu CLI client: a full-featured Stability-API gRPC client
+(the reference ships client.py with the same surface: samplers, negative
+prompts, init/mask images, LoRA/TI artifact upload, hint images, async
+generation with ctrl-C cancel).
+
+Examples:
+  python client.py "a cat" -o out.png
+  python client.py "a cat" -n "blurry" -W 768 -H 512 -s k_euler_ancestral
+  python client.py "a cat" -i init.png --strength 0.6
+  python client.py "a cat" -i init.png -m mask.png
+  python client.py "a cat" --lora style.safetensors:0.8
+  python client.py "a cat" --hint depth:depth.png
+  python client.py "a cat" --async
+"""
+
+from __future__ import annotations
+
+import argparse
+import signal
+import sys
+import time
+import uuid
+
+import grpc
+
+from gyre_tpu.generated import generation_pb2 as pb
+from gyre_tpu.pipeline.samplers import PROTO_SAMPLERS
+
+SAMPLER_BY_NAME = {v: k for k, v in PROTO_SAMPLERS.items()}
+
+
+def build_request(args) -> pb.Request:
+    req = pb.Request(engine_id=args.engine,
+                     request_id=args.request_id or str(uuid.uuid4()))
+    prompt = req.prompt.add()
+    prompt.text = args.prompt
+    if args.negative:
+        neg = req.prompt.add()
+        neg.text = args.negative
+        neg.parameters.weight = -1.0
+
+    if args.init:
+        p = req.prompt.add()
+        p.parameters.init = True
+        p.artifact.type = pb.ARTIFACT_IMAGE
+        p.artifact.mime = "image/png"
+        with open(args.init, "rb") as fh:
+            p.artifact.binary = fh.read()
+    if args.mask:
+        p = req.prompt.add()
+        p.artifact.type = pb.ARTIFACT_MASK
+        p.artifact.mime = "image/png"
+        with open(args.mask, "rb") as fh:
+            p.artifact.binary = fh.read()
+    for spec in args.lora or []:
+        path, _, weight = spec.partition(":")
+        p = req.prompt.add()
+        p.artifact.type = pb.ARTIFACT_LORA
+        p.artifact.uuid = path
+        with open(path, "rb") as fh:
+            p.artifact.binary = fh.read()
+        p.parameters.weight = float(weight or 1.0)
+    for spec in args.ti or []:
+        p = req.prompt.add()
+        p.artifact.type = pb.ARTIFACT_TOKEN_EMBEDDING
+        with open(spec, "rb") as fh:
+            p.artifact.binary = fh.read()
+    for spec in args.hint or []:
+        kind, _, path = spec.partition(":")
+        p = req.prompt.add()
+        p.artifact.type = pb.ARTIFACT_HINT_IMAGE
+        p.artifact.hint_image_type = kind
+        with open(path, "rb") as fh:
+            p.artifact.binary = fh.read()
+
+    img = req.image
+    img.height = args.height
+    img.width = args.width
+    img.steps = args.steps
+    img.samples = args.samples
+    if args.seed:
+        img.seed.extend(args.seed)
+    img.transform.diffusion = SAMPLER_BY_NAME.get(args.sampler,
+                                                  pb.SAMPLER_K_DPMPP_2M)
+    sp = img.parameters.add()
+    sp.sampler.cfg_scale = args.cfg
+    if args.eta is not None:
+        sp.sampler.eta = args.eta
+    if args.churn:
+        sp.sampler.churn.churn = args.churn
+    if args.karras_rho:
+        sp.sampler.sigma.karras_rho = args.karras_rho
+    if args.strength is not None:
+        sp.schedule.start = args.strength
+    if args.hires:
+        img.hires.enable = True
+    if args.tiling:
+        img.tiling = True
+    return req
+
+
+def save_answers(answers, outfile: str) -> int:
+    count = 0
+    for answer in answers:
+        for art in answer.artifacts:
+            if art.type != pb.ARTIFACT_IMAGE:
+                continue
+            name = outfile if count == 0 else \
+                outfile.replace(".png", f"-{count}.png")
+            with open(name, "wb") as fh:
+                fh.write(art.binary)
+            flag = " [FLAGGED]" if art.finish_reason == pb.FILTER else ""
+            print(f"saved {name} (seed {art.seed}){flag}")
+            count += 1
+    return count
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("gyre-tpu client")
+    p.add_argument("prompt")
+    p.add_argument("-n", "--negative", default="")
+    p.add_argument("-o", "--out", default="generation.png")
+    p.add_argument("--host", default="localhost:50051")
+    p.add_argument("--key", default="", help="API key (bearer token)")
+    p.add_argument("-e", "--engine", default="")
+    p.add_argument("-W", "--width", type=int, default=512)
+    p.add_argument("-H", "--height", type=int, default=512)
+    p.add_argument("-s", "--sampler", default="k_dpmpp_2m",
+                   choices=sorted(SAMPLER_BY_NAME))
+    p.add_argument("-S", "--seed", type=int, action="append")
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--samples", type=int, default=1)
+    p.add_argument("-c", "--cfg", type=float, default=7.5)
+    p.add_argument("--eta", type=float, default=None)
+    p.add_argument("--churn", type=float, default=0.0)
+    p.add_argument("--karras_rho", type=float, default=0.0)
+    p.add_argument("-i", "--init", default=None)
+    p.add_argument("-m", "--mask", default=None)
+    p.add_argument("--strength", type=float, default=None)
+    p.add_argument("--lora", action="append")
+    p.add_argument("--ti", action="append")
+    p.add_argument("--hint", action="append",
+                   help="type:file, e.g. depth:depth.png")
+    p.add_argument("--hires", action="store_true")
+    p.add_argument("--tiling", action="store_true")
+    p.add_argument("--async", dest="use_async", action="store_true")
+    p.add_argument("--list-engines", action="store_true")
+    p.add_argument("--request-id", dest="request_id", default="")
+    args = p.parse_args(argv)
+
+    channel = grpc.insecure_channel(
+        args.host, options=[("grpc.max_receive_message_length",
+                             256 * 1024 * 1024)])
+    metadata = [("authorization", f"Bearer {args.key}")] if args.key else []
+
+    if args.list_engines:
+        from gyre_tpu.generated import engines_pb2 as epb
+
+        call = channel.unary_unary(
+            "/gooseai.EnginesService/ListEngines",
+            request_serializer=epb.ListEnginesRequest.SerializeToString,
+            response_deserializer=epb.Engines.FromString)
+        for e in call(epb.ListEnginesRequest(), metadata=metadata).engine:
+            print(f"{e.id:40s} {e.name} ({'ready' if e.ready else 'down'})")
+        return 0
+
+    req = build_request(args)
+    t0 = time.time()
+
+    if args.use_async:
+        start = channel.unary_unary(
+            "/gooseai.GenerationService/AsyncGenerate",
+            request_serializer=pb.Request.SerializeToString,
+            response_deserializer=pb.AsyncHandle.FromString)
+        poll = channel.unary_unary(
+            "/gooseai.GenerationService/AsyncResult",
+            request_serializer=pb.AsyncHandle.SerializeToString,
+            response_deserializer=pb.AsyncAnswer.FromString)
+        cancel = channel.unary_unary(
+            "/gooseai.GenerationService/AsyncCancel",
+            request_serializer=pb.AsyncHandle.SerializeToString,
+            response_deserializer=pb.AsyncCancelAnswer.FromString)
+        handle = start(req, metadata=metadata)
+
+        def on_int(*_):
+            print("\ncancelling...")
+            cancel(handle, metadata=metadata)
+            sys.exit(130)
+
+        signal.signal(signal.SIGINT, on_int)
+        answers = []
+        while True:
+            res = poll(handle, metadata=metadata)
+            answers.extend(res.answer)
+            if res.complete:
+                break
+            time.sleep(0.5)
+    else:
+        call = channel.unary_stream(
+            "/gooseai.GenerationService/Generate",
+            request_serializer=pb.Request.SerializeToString,
+            response_deserializer=pb.Answer.FromString)
+        answers = call(req, metadata=metadata)
+
+    n = save_answers(answers, args.out)
+    print(f"{n} image(s) in {time.time() - t0:.1f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -85,6 +85,30 @@ def test_grpc_list_engines(server_ports):
     assert [e.id for e in out.engine] == ["test-engine"]
 
 
+def test_cli_client_end_to_end(server_ports, tmp_path):
+    """The shipped client.py drives the live server."""
+    import client as client_mod
+
+    grpc_port, _ = server_ports
+    out = tmp_path / "gen.png"
+    rc = client_mod.main([
+        "a client test", "--host", f"localhost:{grpc_port}",
+        "-W", "64", "-H", "64", "--steps", "2", "-S", "5",
+        "-s", "k_euler", "-o", str(out)])
+    assert rc == 0
+    assert out.read_bytes()[:4] == b"\x89PNG"
+
+
+def test_cli_client_list_engines(server_ports, capsys):
+    import client as client_mod
+
+    grpc_port, _ = server_ports
+    rc = client_mod.main(["x", "--host", f"localhost:{grpc_port}",
+                          "--list-engines"])
+    assert rc == 0
+    assert "test-engine" in capsys.readouterr().out
+
+
 def test_http_surface(server_ports):
     import json
 
