@@ -132,6 +132,22 @@ class EngineManager:
 
     def _build_modelset(self, spec: EngineSpec) -> ModelSet:
         model = spec.model
+        if isinstance(model, dict) and model.get("mix"):
+            # model mixing: merge other engines' weights (reference
+            # gyre/manager.py:1296-1443)
+            from .mixing import mix_modelsets
+
+            parts = []
+            for entry in model["mix"]:
+                if isinstance(entry, str):
+                    entry = {"source": entry, "weight": 1.0}
+                src = entry["source"]
+                sub = self.modelset(src.lstrip("@")) \
+                    if isinstance(src, str) else None
+                parts.append((sub, float(entry.get("weight", 1.0))))
+            return mix_modelsets(parts,
+                                 model.get("algorithm", "weighted_sum"),
+                                 engine_id=spec.id)
         if isinstance(model, dict):
             path = model.get("path")
             preset = model.get("preset", "sd15")
