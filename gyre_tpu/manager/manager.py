@@ -299,9 +299,49 @@ class EngineManager:
                     path, num_blocks=int(spec.params.get("blocks", 23)),
                     tile=int(spec.params.get("tile", 128)),
                     compute_dtype=self.compute_dtype)
+            elif spec.task in ("depth", "hinter", "edge", "segmentation",
+                               "background_removal"):
+                self._adapted[key] = self._build_hinter(spec)
             else:
                 return None
         return self._adapted[key]
+
+    def _build_hinter(self, spec: EngineSpec):
+        """Depth / edge hinter pipelines (reference task pipelines,
+        gyre/pipeline/depth/ + hinters/)."""
+        import jax as _jax
+
+        from ..models import hinters
+
+        kind = spec.params.get("kind") or spec.task
+        seed = int(spec.params.get("seed", 0))
+        if kind in ("depth",):
+            params = hinters.depth_init(_jax.random.PRNGKey(seed),
+                                        dtype=jnp.float32)
+            fn = _jax.jit(hinters.depth_apply)
+
+            def run(img):
+                d = fn(params, jnp.asarray(img, jnp.float32))
+                return jnp.tile(d, (1, 1, 1, 3))
+
+            return run
+        if kind in ("edge", "hinter", "hed", "soft_edge"):
+            path = spec.model if isinstance(spec.model, str) else None
+            if path:
+                from ..models.load import read_safetensors
+
+                params = hinters.load_hed_params(read_safetensors(path))
+            else:
+                params = hinters.hed_init(_jax.random.PRNGKey(seed),
+                                          dtype=jnp.float32)
+            fn = _jax.jit(hinters.hed_apply)
+
+            def run(img):
+                e = fn(params, jnp.asarray(img, jnp.float32))
+                return jnp.tile(e, (1, 1, 1, 3))
+
+            return run
+        return None
 
     def hint_model(self, hint_type: str, engine_id: str | None = None):
         """Conditioning model for a hint type, matched to the engine's

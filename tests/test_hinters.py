@@ -1,0 +1,67 @@
+"""Depth / HED hinter model tests + task-engine integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gyre_tpu.models import hinters
+
+
+def test_depth_shapes_and_normalization(rng_key):
+    params = hinters.depth_init(rng_key, widths=(8, 16, 32, 32))
+    img = jax.random.uniform(rng_key, (2, 64, 64, 3))
+    d = hinters.depth_apply(params, img)
+    assert d.shape == (2, 64, 64, 1)
+    for i in range(2):
+        assert abs(float(d[i].min())) < 1e-5
+        assert abs(float(d[i].max()) - 1.0) < 1e-5
+
+
+def test_hed_shapes(rng_key):
+    params = hinters.hed_init(rng_key)
+    img = jax.random.uniform(rng_key, (1, 64, 64, 3))
+    e = hinters.hed_apply(params, img)
+    assert e.shape == (1, 64, 64, 1)
+    assert 0 <= float(e.min()) and float(e.max()) <= 1
+
+
+def test_hed_weight_roundtrip(rng_key):
+    """Export to HED checkpoint naming, reload, identical output."""
+    from gyre_tpu.models.load import _inv_conv
+
+    params = hinters.hed_init(rng_key)
+    state = {}
+    for i, stage in enumerate(params["stages"]):
+        for j, conv in enumerate(stage):
+            state[f"conv{i + 1}_{j + 1}.weight"] = _inv_conv(
+                np.asarray(conv["w"]))
+            state[f"conv{i + 1}_{j + 1}.bias"] = np.asarray(conv["b"])
+    for i, side in enumerate(params["sides"]):
+        state[f"score_dsn{i + 1}.weight"] = _inv_conv(np.asarray(side["w"]))
+        state[f"score_dsn{i + 1}.bias"] = np.asarray(side["b"])
+    state["score_final.weight"] = _inv_conv(np.asarray(params["fuse"]["w"]))
+    back = hinters.load_hed_params(state)
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    np.testing.assert_allclose(np.asarray(hinters.hed_apply(params, img)),
+                               np.asarray(hinters.hed_apply(back, img)),
+                               atol=1e-5)
+
+
+def test_depth_task_engine_in_adjustments():
+    from gyre_tpu.generated import generation_pb2 as pb
+    from gyre_tpu.manager.manager import EngineManager
+    from gyre_tpu.services.adjustments import apply_image_adjustment
+
+    m = EngineManager(
+        [{"id": "gen", "model": "preset/test", "default": True},
+         {"id": "midas-depth", "task": "depth",
+          "params": {"widths": [8, 16, 32, 32]}}],
+        compute_dtype=jnp.float32)
+    adj = pb.ImageAdjustment()
+    adj.depth.SetInParent()
+    img = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3),
+                      jnp.float32)
+    out = apply_image_adjustment(img, [adj], m, None)
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
