@@ -156,6 +156,29 @@ SDXL = ModelSetConfig(
 SD_TEST = ModelSetConfig(
     unet=UNET_TEST, vae=VAE_TEST, text_encoders=(CLIP_TEST,), sample_size=8,
 )
+# tiny SDXL-topology config: dual towers + text_time conditioning
+UNET_TEST_XL = UNetConfig(
+    block_out_channels=(32, 64),
+    attn_levels=(False, True),
+    transformer_layers=(0, 2),
+    num_heads=(4, 4),
+    cross_attention_dim=96,   # 64 + 32 dual-tower concat
+    time_embed_dim=128,
+    norm_groups=8,
+    mid_transformer_layers=2,
+    linear_projection=True,
+    addition_embed_dim=32,
+    addition_time_dim=16,
+    addition_time_ids=6,
+)
+CLIP_TEST2 = CLIPTextConfig(
+    vocab_size=49408, hidden_size=32, num_layers=2, num_heads=4,
+    intermediate_size=64, projection_dim=32,
+)
+SDXL_TEST = ModelSetConfig(
+    unet=UNET_TEST_XL, vae=VAE_TEST, text_encoders=(CLIP_TEST, CLIP_TEST2),
+    clip_layer=-2, sample_size=8,
+)
 
 PRESETS: dict[str, ModelSetConfig] = {
     "sd15": SD15,
@@ -164,4 +187,5 @@ PRESETS: dict[str, ModelSetConfig] = {
     "sd21-base": SD21_BASE,
     "sdxl": SDXL,
     "test": SD_TEST,
+    "test-xl": SDXL_TEST,
 }

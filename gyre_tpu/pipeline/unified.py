@@ -127,10 +127,32 @@ class UnifiedPipeline:
     def encode_prompt(self, prompt: prompts.WeightedPrompt,
                       pad_to_chunks: int = 0, tower_idx: int = 0,
                       clip_layer: int | None = None) -> jnp.ndarray:
+        """Single-tower weighted/long-prompt context. For dual-tower
+        models (SDXL) the per-tower contexts concat feature-wise."""
         layer = clip_layer if clip_layer is not None else self.ms.config.clip_layer
+        if len(self.ms.config.text_encoders) > 1 and tower_idx == 0 and \
+                clip_layer is None:
+            parts = [prompts.encode_weighted_prompt(
+                self._encode_ids_fn(i, layer), self.ms.tokenizer, prompt,
+                pad_to_chunks=pad_to_chunks)
+                for i in range(len(self.ms.config.text_encoders))]
+            return jnp.concatenate(parts, axis=-1)
         return prompts.encode_weighted_prompt(
             self._encode_ids_fn(tower_idx, layer), self.ms.tokenizer, prompt,
             pad_to_chunks=pad_to_chunks)
+
+    def encode_pooled(self, text: str) -> jnp.ndarray:
+        """Pooled embedding from the last tower (SDXL's text_embeds
+        conditioning comes from the bigG tower)."""
+        from ..models import clip as clip_mod
+
+        idx = len(self.ms.config.text_encoders) - 1
+        te_cfg = self.ms.config.text_encoders[idx]
+        ids, _, _ = prompts.tokenize_weighted(
+            self.ms.tokenizer, prompts.WeightedPrompt.parse(text or ""))
+        out = clip_mod.apply(self.ms.text_params[idx], te_cfg,
+                             jnp.asarray(ids[:1]))
+        return out["pooled"]
 
     def chunk_count(self, *prompt_texts: str) -> int:
         n = 1
@@ -197,7 +219,8 @@ class UnifiedPipeline:
         def core(unet_params, sigmas, keys, ctx_u, ctx_g, cfg_scale,
                  init_latents, mask_keep, extra_channels,
                  controlnets=(), adapter_states=None, graft=None,
-                 clip_vision=None, clip_target=None):
+                 clip_vision=None, clip_target=None,
+                 added_u=None, added_g=None):
             shape = (spec.height, spec.width, unet_cfg.out_channels)
             sigma_start = sigmas[0]
 
@@ -234,11 +257,16 @@ class UnifiedPipeline:
                 model_fn = modes.make_extra_channels_wrapper(extra_channels)(
                     model_fn)
 
+            extra_u = {"added_cond": added_u} if added_u is not None else None
+            extra_g = {"added_cond": added_g} if added_g is not None else None
             if spec.guided:
                 model = denoiser.cfg_model(model_fn, ctx_u, ctx_g, cfg_scale,
-                                           parallel=spec.cfg_parallel)
+                                           parallel=spec.cfg_parallel,
+                                           extra_uncond=extra_u,
+                                           extra_cond=extra_g)
             else:
-                model = denoiser.plain_model(model_fn, ctx_g)
+                model = denoiser.plain_model(
+                    model_fn, ctx_g, **(extra_g or {}))
 
             dn_base = denoiser.make_denoiser(model, schedule)
 
@@ -585,6 +613,20 @@ class UnifiedPipeline:
             pooled = pooled / jnp.linalg.norm(pooled, axis=-1, keepdims=True)
             clip_target = jnp.tile(pooled, (batch, 1))
 
+        # SDXL "text_time" conditioning: pooled text + size/crop time ids
+        added_u = added_g = None
+        if ms.config.unet.addition_embed_dim:
+            tids = jnp.tile(jnp.asarray(
+                [[height, width, 0, 0, height, width]], jnp.float32),
+                (batch, 1))[:, :ms.config.unet.addition_time_ids]
+            gp = prompt_list[0] if prompt_list else (prompt or "")
+            gn = (neg_list[0] if neg_list else negative_prompt) or ""
+            pooled_g = jnp.tile(self.encode_pooled(gp), (batch, 1))
+            added_g = {"text_embeds": pooled_g, "time_ids": tids}
+            pooled_u = jnp.tile(self.encode_pooled(gn), (batch, 1)) \
+                if guided else pooled_g
+            added_u = {"text_embeds": pooled_u, "time_ids": tids}
+
         x0 = self.core(spec)(
             self.ms.unet_params, sigmas, keys, ctx_u, ctx_g,
             gs_arg, init_latents, mask_keep,
@@ -594,7 +636,8 @@ class UnifiedPipeline:
             adapter_states=adapter_states,
             graft=graft_args,
             clip_vision=clip_vision_params,
-            clip_target=clip_target)
+            clip_target=clip_target,
+            added_u=added_u, added_g=added_g)
 
         if return_latents:
             return x0

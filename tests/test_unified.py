@@ -130,6 +130,27 @@ def test_hires_fix(pipe):
     assert np.abs(img - plain).max() > 1e-4
 
 
+def test_sdxl_dual_tower_path():
+    """SDXL-topology: dual-tower context concat + pooled text_embeds +
+    time_ids conditioning through the full pipeline."""
+    from gyre_tpu.models.modelset import random_modelset as rms
+
+    ms = rms(configs.SDXL_TEST, seed=0, dtype=jnp.float32)
+    xp = UnifiedPipeline(ms, compute_dtype=jnp.float32)
+    img = xp(prompt="an sdxl test", negative_prompt="bad",
+             height=SIZE, width=SIZE, steps=2, sampler="k_euler",
+             seeds=[3], guidance_scale=7.5)
+    img = np.asarray(img)
+    assert img.shape == (1, SIZE, SIZE, 3)
+    assert np.isfinite(img).all()
+    # prompt sensitivity through both towers
+    img2 = np.asarray(xp(prompt="something else entirely",
+                         negative_prompt="bad", height=SIZE, width=SIZE,
+                         steps=2, sampler="k_euler", seeds=[3],
+                         guidance_scale=7.5))
+    assert np.abs(img - img2).max() > 1e-4
+
+
 def test_compile_cache_reuse(pipe):
     kw = dict(prompt="x", height=SIZE, width=SIZE, steps=3,
               sampler="k_euler", guidance_scale=7.5)
