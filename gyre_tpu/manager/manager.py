@@ -165,8 +165,12 @@ class EngineManager:
 
         if path:
             from ..models.load import load_modelset
+            from .weights import WeightResolver
 
-            ms = load_modelset(path, cfg, dtype=self.compute_dtype,
+            if not hasattr(self, "_weight_resolver"):
+                self._weight_resolver = WeightResolver()
+            resolved = self._weight_resolver.resolve(path)
+            ms = load_modelset(resolved, cfg, dtype=self.compute_dtype,
                                engine_id=spec.id)
         else:
             ms = random_modelset(cfg, seed=seed, dtype=self.compute_dtype,
