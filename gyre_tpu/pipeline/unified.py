@@ -56,6 +56,27 @@ class StaticSpec:
     graft_prediction: str = "epsilon"
     clip_guidance: float = 0.0   # CLIP-gradient steering scale
     clip_cutouts: int = 4
+    noise_type: str = "normal"   # normal | brownian
+
+
+def _make_noise_fn(keys, sigmas, shape, noise_type: str):
+    """Per-sample sampler noise. "normal" keys noise by step index;
+    "brownian" keys it by the quantized sigma of the step, so draws are
+    consistent across step counts (the reference's BrownianTreeNoiseSampler
+    property, gyre/pipeline/common_scheduler.py:596-610, without torchsde's
+    tree subdivision)."""
+
+    def noise_fn(i, tag):
+        if noise_type == "brownian":
+            q = (jnp.log(jnp.maximum(sigmas[i], 1e-6)) * 256.0).astype(
+                jnp.int32)
+            sub = jax.vmap(lambda k: jax.random.fold_in(
+                rngu.stream(k, tag), q))(keys)
+            return jax.vmap(
+                lambda k: jax.random.normal(k, shape, jnp.float32))(sub)
+        return rngu.batched_stream_normal(keys, tag, i, shape)
+
+    return noise_fn
 
 
 class UnifiedPipeline:
@@ -337,10 +358,9 @@ class UnifiedPipeline:
                 keys2 = jnp.concatenate(
                     [jax.vmap(lambda k: rngu.stream(k, "lo"))(keys), keys])
 
-                def noise_fn(i, tag):
-                    return rngu.batched_stream_normal(
-                        keys2, tag, i, (spec.height, spec.width, shape[-1]))
-
+                noise_fn = _make_noise_fn(
+                    keys2, sigmas, (spec.height, spec.width, shape[-1]),
+                    spec.noise_type)
                 x0 = samplers.sample(spec.sampler, dn2, x, sigmas,
                                      noise_fn, p)
                 _, x0 = unpack(x0)
@@ -353,9 +373,7 @@ class UnifiedPipeline:
             else:
                 x = modes.img2img_initial(init_latents, keys, sigma_start)
 
-            def noise_fn(i, tag):
-                return rngu.batched_stream_normal(keys, tag, i, shape)
-
+            noise_fn = _make_noise_fn(keys, sigmas, shape, spec.noise_type)
             x0 = samplers.sample(spec.sampler, dn, x, sigmas, noise_fn, p)
             if final_blend is not None:
                 x0 = final_blend(x0)
@@ -397,6 +415,7 @@ class UnifiedPipeline:
                  hires_oos_fraction: float = 0.25,
                  clip_guidance_scale: float = 0.0,
                  clip_cutouts: int = 4,
+                 noise_type: str = "normal",
                  return_latents: bool = False):
         """Run generation; returns images [B,H,W,3] float32 in [0,1].
 
@@ -594,7 +613,8 @@ class UnifiedPipeline:
             graft_cfg=graft_cfg,
             graft_prediction=graft_pred,
             clip_guidance=float(clip_guidance_scale),
-            clip_cutouts=int(clip_cutouts))
+            clip_cutouts=int(clip_cutouts),
+            noise_type=noise_type)
 
         clip_vision_params = None
         clip_target = None

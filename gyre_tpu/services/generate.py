@@ -407,6 +407,7 @@ class GenerationServiceServicer:
                     hires_fix=p.hires_fix,
                     hires_oos_fraction=p.hires_oos_fraction,
                     clip_guidance_scale=p.clip_guidance_scale,
+                    noise_type=p.noise_type,
                 )
                 if Job(pipe, kwargs).coalesce_key() is not None:
                     # coalescible: concurrent clients share one compiled

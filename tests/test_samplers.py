@@ -158,6 +158,29 @@ def test_sigma_to_t_roundtrip():
         np.testing.assert_allclose(np.asarray(t), [t_ref], atol=0.51)
 
 
+def test_brownian_noise_step_count_consistency():
+    """Brownian noise keyed by sigma: the same sigma draws the same field
+    regardless of where it falls in the schedule."""
+    from gyre_tpu.pipeline.unified import _make_noise_fn
+
+    keys = rng.keys_for_seeds(np.array([1, 2]))
+    sig_a = jnp.asarray([14.6, 8.0, 2.0, 0.0], jnp.float32)
+    sig_b = jnp.asarray([14.6, 10.0, 8.0, 2.0, 1.0, 0.0], jnp.float32)
+    nf_a = _make_noise_fn(keys, sig_a, (4, 4, 1), "brownian")
+    nf_b = _make_noise_fn(keys, sig_b, (4, 4, 1), "brownian")
+    # sigma 8.0 sits at index 1 in a, index 2 in b: same draw
+    np.testing.assert_allclose(np.asarray(nf_a(1, "anc")),
+                               np.asarray(nf_b(2, "anc")), atol=1e-6)
+    # different sigmas draw different noise
+    assert np.abs(np.asarray(nf_a(1, "anc")) -
+                  np.asarray(nf_a(2, "anc"))).max() > 1e-3
+    # normal noise is step-indexed: index 1 matches index 1
+    nf_an = _make_noise_fn(keys, sig_a, (4, 4, 1), "normal")
+    nf_bn = _make_noise_fn(keys, sig_b, (4, 4, 1), "normal")
+    np.testing.assert_allclose(np.asarray(nf_an(1, "anc")),
+                               np.asarray(nf_bn(1, "anc")), atol=1e-6)
+
+
 def test_proto_sampler_map_complete():
     from gyre_tpu.generated import generation_pb2 as g
 
