@@ -57,9 +57,20 @@ class StaticSpec:
     clip_guidance: float = 0.0   # CLIP-gradient steering scale
     clip_cutouts: int = 4
     noise_type: str = "normal"   # normal | brownian
+    resume: bool = False         # chunked dispatch: x carried in, no init
+    final_chunk: bool = True     # apply final blends / return x0
 
 
-def _make_noise_fn(keys, sigmas, shape, noise_type: str):
+# samplers with no cross-step carried state: safe for chunked dispatch
+STATELESS_SAMPLERS = frozenset({
+    "k_euler", "k_euler_ancestral", "k_heun", "k_dpm_2",
+    "k_dpm_2_ancestral", "k_dpmpp_2s_ancestral", "k_dpmpp_sde", "ddim",
+    "ddpm", "dpmsolverpp_1order", "dpmsolverpp_2s_ancestral",
+    "dpmsolverpp_sde",
+})
+
+
+def _make_noise_fn(keys, sigmas, shape, noise_type: str, step_offset=0):
     """Per-sample sampler noise. "normal" keys noise by step index;
     "brownian" keys it by the quantized sigma of the step, so draws are
     consistent across step counts (the reference's BrownianTreeNoiseSampler
@@ -74,7 +85,7 @@ def _make_noise_fn(keys, sigmas, shape, noise_type: str):
                 rngu.stream(k, tag), q))(keys)
             return jax.vmap(
                 lambda k: jax.random.normal(k, shape, jnp.float32))(sub)
-        return rngu.batched_stream_normal(keys, tag, i, shape)
+        return rngu.batched_stream_normal(keys, tag, i + step_offset, shape)
 
     return noise_fn
 
@@ -241,7 +252,8 @@ class UnifiedPipeline:
                  init_latents, mask_keep, extra_channels,
                  controlnets=(), adapter_states=None, graft=None,
                  clip_vision=None, clip_target=None,
-                 added_u=None, added_g=None):
+                 added_u=None, added_g=None, x_resume=None,
+                 step_offset=0):
             shape = (spec.height, spec.width, unet_cfg.out_channels)
             sigma_start = sigmas[0]
 
@@ -368,14 +380,18 @@ class UnifiedPipeline:
                     x0 = final_blend(x0)
                 return x0
 
-            if spec.mode == "txt2img":
+            if spec.resume:
+                # chunked dispatch: continue from carried sigma-space state
+                x = x_resume
+            elif spec.mode == "txt2img":
                 x = modes.txt2img_initial(keys, shape, sigma_start)
             else:
                 x = modes.img2img_initial(init_latents, keys, sigma_start)
 
-            noise_fn = _make_noise_fn(keys, sigmas, shape, spec.noise_type)
+            noise_fn = _make_noise_fn(keys, sigmas, shape, spec.noise_type,
+                                      step_offset)
             x0 = samplers.sample(spec.sampler, dn, x, sigmas, noise_fn, p)
-            if final_blend is not None:
+            if spec.final_chunk and final_blend is not None:
                 x0 = final_blend(x0)
             return x0
 
@@ -416,6 +432,9 @@ class UnifiedPipeline:
                  clip_guidance_scale: float = 0.0,
                  clip_cutouts: int = 4,
                  noise_type: str = "normal",
+                 progress_callback=None,
+                 stop_event=None,
+                 chunk_steps: int = 0,
                  return_latents: bool = False):
         """Run generation; returns images [B,H,W,3] float32 in [0,1].
 
@@ -647,17 +666,56 @@ class UnifiedPipeline:
                 if guided else pooled_g
             added_u = {"text_embeds": pooled_u, "time_ids": tids}
 
-        x0 = self.core(spec)(
-            self.ms.unet_params, sigmas, keys, ctx_u, ctx_g,
-            gs_arg, init_latents, mask_keep,
-            extra if extra is not None
-            else jnp.zeros((batch, lh, lw, 4), jnp.float32),
+        core_kwargs = dict(
             controlnets=tuple(controlnets),
             adapter_states=adapter_states,
             graft=graft_args,
             clip_vision=clip_vision_params,
             clip_target=clip_target,
             added_u=added_u, added_g=added_g)
+        core_args = (self.ms.unet_params, keys, ctx_u, ctx_g, gs_arg,
+                     init_latents, mask_keep,
+                     extra if extra is not None
+                     else jnp.zeros((batch, lh, lw, 4), jnp.float32))
+
+        n_steps = len(sigmas_np) - 1
+        chunkable = (chunk_steps and chunk_steps < n_steps and
+                     hires is None and
+                     sampler in STATELESS_SAMPLERS and
+                     (progress_callback is not None or
+                      stop_event is not None))
+        if chunkable:
+            # chunked dispatch: per-segment compiled programs sharing the
+            # chunk size; enables progress + mid-request cancellation
+            # (replacing the reference's tqdm-driven abort,
+            # gyre/pipeline/pipeline_wrapper.py:22-79)
+            import dataclasses as dc
+
+            x0 = None
+            done = 0
+            while done < n_steps:
+                seg = min(chunk_steps, n_steps - done)
+                seg_sigmas = jnp.asarray(sigmas_np[done:done + seg + 1],
+                                         jnp.float32)
+                spec_i = dc.replace(spec, steps=seg, resume=done > 0,
+                                    final_chunk=done + seg >= n_steps)
+                up, ks, cu, cg, ga, il, mk, ex = core_args
+                x0 = self.core(spec_i)(
+                    up, seg_sigmas, ks, cu, cg, ga, il, mk, ex,
+                    x_resume=x0 if x0 is not None
+                    else jnp.zeros((batch, lh, lw, 4), jnp.float32),
+                    step_offset=done, **core_kwargs)
+                done += seg
+                if progress_callback is not None:
+                    progress_callback(done, n_steps)
+                if stop_event is not None and stop_event.is_set():
+                    return None
+        else:
+            up, ks, cu, cg, ga, il, mk, ex = core_args
+            x0 = self.core(spec)(up, sigmas, ks, cu, cg, ga, il, mk, ex,
+                                 **core_kwargs)
+            if progress_callback is not None:
+                progress_callback(n_steps, n_steps)
 
         if return_latents:
             return x0

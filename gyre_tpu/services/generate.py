@@ -408,14 +408,20 @@ class GenerationServiceServicer:
                     hires_oos_fraction=p.hires_oos_fraction,
                     clip_guidance_scale=p.clip_guidance_scale,
                     noise_type=p.noise_type,
+                    stop_event=stop_event,
+                    chunk_steps=10 if stop_event is not None else 0,
                 )
                 if Job(pipe, kwargs).coalesce_key() is not None:
                     # coalescible: concurrent clients share one compiled
-                    # batch through the dispatcher
+                    # batch through the dispatcher (no chunking there —
+                    # merged batches dispatch as one program)
+                    kwargs.pop("stop_event"), kwargs.pop("chunk_steps")
                     imgs = self.manager.dispatcher.submit(
                         pipe, kwargs, stop_event).result()
                 else:
                     imgs = pipe(**kwargs)
+                if imgs is None:  # cancelled mid-request
+                    return
                 imgs = np.asarray(imgs)
                 flags = self._safety_check(imgs)
                 for j, seed in enumerate(batch):

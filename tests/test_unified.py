@@ -151,6 +151,36 @@ def test_sdxl_dual_tower_path():
     assert np.abs(img - img2).max() > 1e-4
 
 
+def test_chunked_dispatch_matches_single(pipe):
+    """Chunked dispatch (progress/cancel) must reproduce the single-scan
+    result exactly for stateless samplers."""
+    import threading
+
+    kw = dict(prompt="a boat", height=SIZE, width=SIZE, steps=6,
+              sampler="k_euler_ancestral", seeds=[11], guidance_scale=7.5)
+    single = np.asarray(pipe(**kw))
+    steps_seen = []
+    chunked = np.asarray(pipe(
+        chunk_steps=2,
+        progress_callback=lambda done, total: steps_seen.append((done,
+                                                                 total)),
+        **kw))
+    assert steps_seen == [(2, 6), (4, 6), (6, 6)]
+    np.testing.assert_allclose(chunked, single, atol=1e-5)
+
+    # cancellation mid-request returns None
+    ev = threading.Event()
+    calls = []
+
+    def cancel_after_first(done, total):
+        calls.append(done)
+        ev.set()
+
+    out = pipe(chunk_steps=2, progress_callback=cancel_after_first,
+               stop_event=ev, **kw)
+    assert out is None and calls == [2]
+
+
 def test_compile_cache_reuse(pipe):
     kw = dict(prompt="x", height=SIZE, width=SIZE, steps=3,
               sampler="k_euler", guidance_scale=7.5)
