@@ -295,14 +295,29 @@ class EngineManager:
         key = ("task", spec.id)
         if key not in self._adapted:
             if spec.task == "upscaler":
-                from ..pipeline.upscaler import build_esrgan_pipeline
-
                 path = spec.model if isinstance(spec.model, str) and \
                     not spec.model.startswith("preset/") else None
-                self._adapted[key] = build_esrgan_pipeline(
-                    path, num_blocks=int(spec.params.get("blocks", 23)),
-                    tile=int(spec.params.get("tile", 128)),
-                    compute_dtype=self.compute_dtype)
+                if spec.params.get("kind") == "swinir":
+                    import jax as _jax
+
+                    from ..models import swinir
+                    from ..pipeline.upscaler import UpscalerPipeline
+
+                    sw_params = swinir.init(_jax.random.PRNGKey(0),
+                                            dtype=jnp.float32)
+                    self._adapted[key] = UpscalerPipeline(
+                        sw_params,
+                        apply_fn=lambda p, x, s: swinir.apply(p, x, scale=s),
+                        scale=4, tile=int(spec.params.get("tile", 64)),
+                        overlap=8, compute_dtype=jnp.float32)
+                else:
+                    from ..pipeline.upscaler import build_esrgan_pipeline
+
+                    self._adapted[key] = build_esrgan_pipeline(
+                        path,
+                        num_blocks=int(spec.params.get("blocks", 23)),
+                        tile=int(spec.params.get("tile", 128)),
+                        compute_dtype=self.compute_dtype)
             elif spec.task in ("depth", "hinter", "edge", "segmentation",
                                "background_removal"):
                 self._adapted[key] = self._build_hinter(spec)

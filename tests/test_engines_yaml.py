@@ -108,8 +108,10 @@ def test_dist_config_loads():
     root = os.path.join(os.path.dirname(__file__), "..", "config",
                         "engines.yaml")
     entries = engines_yaml.load(root)
-    ids = [e["id"] for e in entries]
+    ids = [e.get("id") for e in entries]
     assert "stable-diffusion-v1-5" in ids
+    assert "esrgan-x4" in ids
+    assert any("hintset_id" in e for e in entries)
     sd15 = next(e for e in entries if e["id"] == "stable-diffusion-v1-5")
     assert sd15["model"] == "preset/sd15"
     assert sd15["default"] is True
