@@ -52,6 +52,10 @@ def parse_args(argv=None):
     gen.add_argument("--nsfw_behaviour", type=str,
                      choices=["block", "flag", "ignore"],
                      default=os.environ.get("SD_NSFW_BEHAVIOUR", "flag"))
+    gen.add_argument("--save_safetensors", type=str, default=None,
+                     metavar="ENGINE_ID:PATH",
+                     help="export an engine's weights as a diffusers-layout "
+                          "safetensors directory and exit")
 
     tpu = p.add_argument_group("tpu")
     tpu.add_argument("--tp", type=int,
@@ -175,6 +179,15 @@ def main(argv=None):
     t0 = time.time()
     manager = build_manager(args)
     manager.resources = resources
+
+    if args.save_safetensors:
+        from .models.load import save_modelset
+
+        engine_id, _, path = args.save_safetensors.partition(":")
+        ms = manager.modelset(engine_id)
+        save_modelset(ms, path or f"./{engine_id}-export")
+        logger.info("exported %s -> %s", engine_id, path)
+        return
 
     generation = GenerationServiceServicer(manager,
                                            nsfw_behaviour=args.nsfw_behaviour,
