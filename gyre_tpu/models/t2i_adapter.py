@@ -56,6 +56,79 @@ def init(key, channels=FULL_CHANNELS, cond_channels: int = 3,
     return p
 
 
+# ------------------------------------------------------------ style adapter
+
+
+def style_init(key, *, context_dim: int = 768, vision_dim: int = 1024,
+               n_tokens: int = 8, n_layers: int = 3, heads: int = 8,
+               dtype=jnp.float32) -> Params:
+    """StyleAdapter (reference gyre/pipeline/t2i_adapter/adapter.py
+    StyleAdapter): learned style queries attend over CLIP-vision tokens;
+    outputs style tokens appended to the text context."""
+    ks = iter(jax.random.split(key, n_layers * 6 + 4))
+    p: Params = {
+        "proj_in": L.linear_init(next(ks), vision_dim, context_dim, dtype),
+        "queries": jax.random.normal(next(ks), (n_tokens, context_dim),
+                                     dtype) * 0.02,
+        "blocks": [],
+        "ln_out": L.norm_init(context_dim, dtype),
+        "proj_out": L.linear_init(next(ks), context_dim, context_dim, dtype),
+    }
+    for _ in range(n_layers):
+        p["blocks"].append({
+            "ln1": L.norm_init(context_dim, dtype),
+            "attn": {
+                "q": L.linear_init(next(ks), context_dim, context_dim, dtype),
+                "k": L.linear_init(next(ks), context_dim, context_dim, dtype),
+                "v": L.linear_init(next(ks), context_dim, context_dim, dtype),
+                "out": L.linear_init(next(ks), context_dim, context_dim,
+                                     dtype),
+            },
+            "ln2": L.norm_init(context_dim, dtype),
+            "fc1": L.linear_init(next(ks), context_dim, context_dim * 4,
+                                 dtype),
+            "fc2": L.linear_init(next(ks), context_dim * 4, context_dim,
+                                 dtype),
+        })
+    return p
+
+
+def style_apply(params: Params, vision_tokens: jax.Array,
+                heads: int = 8) -> jax.Array:
+    """vision_tokens [B, N, vision_dim] -> style tokens [B, n_tokens, ctx]."""
+    b = vision_tokens.shape[0]
+    ctx = L.linear(params["proj_in"], vision_tokens)
+    n_tok = params["queries"].shape[0]
+    x = jnp.concatenate(
+        [ctx, jnp.broadcast_to(params["queries"][None],
+                               (b,) + params["queries"].shape)], axis=1)
+    d = x.shape[-1]
+    hd = d // heads
+    for blk in params["blocks"]:
+        h = L.layer_norm(blk["ln1"], x)
+        q = L.linear(blk["attn"]["q"], h).reshape(b, -1, heads, hd)
+        k = L.linear(blk["attn"]["k"], h).reshape(b, -1, heads, hd)
+        v = L.linear(blk["attn"]["v"], h).reshape(b, -1, heads, hd)
+        o = L.attention(q, k, v).reshape(b, -1, d)
+        x = x + L.linear(blk["attn"]["out"], o)
+        h = L.layer_norm(blk["ln2"], x)
+        x = x + L.linear(blk["fc2"], jax.nn.gelu(L.linear(blk["fc1"], h)))
+    style = L.layer_norm(params["ln_out"], x[:, -n_tok:])
+    return L.linear(params["proj_out"], style)
+
+
+def coadapter_fuse(feature_sets: list[list[jax.Array]],
+                   weights: list[float] | None = None) -> list[jax.Array]:
+    """CoAdapter fuser (reference CoAdapterFuser): combine multiple
+    adapters' per-level features with scalar weights."""
+    weights = weights or [1.0] * len(feature_sets)
+    out = None
+    for feats, w in zip(feature_sets, weights):
+        scaled = [f * w for f in feats]
+        out = scaled if out is None else [a + b for a, b in zip(out, scaled)]
+    return out
+
+
 def _pixel_unshuffle(x, factor):
     b, h, w, c = x.shape
     x = x.reshape(b, h // factor, factor, w // factor, factor, c)

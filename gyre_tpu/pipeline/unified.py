@@ -558,6 +558,28 @@ class UnifiedPipeline:
             img = jnp.asarray(hint["image"], jnp.float32)
             if img.shape[0] != batch:
                 img = jnp.broadcast_to(img, (batch,) + img.shape[1:])
+            if hint.get("kind") == "style":
+                # style tokens appended to the cond context (uncond side
+                # zero-padded; reference style-adapter call,
+                # gyre/pipeline/unified_pipeline.py:834-954)
+                from ..models import clip as clip_mod
+                from ..models import t2i_adapter as t2i_mod
+
+                vision = self.clip_vision()
+                size = self._clip_vision_cfg.image_size
+                simg = jax.image.resize(img, (batch, size, size, 3),
+                                        "bilinear")
+                vout = clip_mod.vision_apply(
+                    vision, self._clip_vision_cfg,
+                    clip_mod.preprocess_image(simg))
+                style = t2i_mod.style_apply(hint["params"], vout["tokens"])
+                style = style * float(hint.get("scale", 1.0))
+                ctx_g = jnp.concatenate([ctx_g, style.astype(ctx_g.dtype)],
+                                        axis=1)
+                ctx_u = jnp.concatenate(
+                    [ctx_u, jnp.zeros_like(style).astype(ctx_u.dtype)],
+                    axis=1)
+                continue
             if hint.get("kind", "controlnet") == "controlnet":
                 from ..models import controlnet as cn_mod
 
@@ -721,11 +743,19 @@ class UnifiedPipeline:
             return x0
         images = self.vae_decode(x0)
 
-        # image-space outmask composite for inpaint (full outmask histogram
-        # blending lands with ops/images)
+        # image-space outmask composite: histogram-match the generated
+        # region to the original, then blend (reference outmask handling,
+        # gyre/pipeline/unified_pipeline.py:2493-2510)
         if mask_image is not None and init_image is not None:
+            from ..ops import images as I
+
+            init = jnp.asarray(init_image, jnp.float32)
             mk = jax.image.resize(mask_keep, (batch, height, width, 1),
                                   "bilinear")
             hard = (mk >= 1.0).astype(jnp.float32)
-            images = jnp.asarray(init_image) * hard + images * (1 - hard)
+            gen = images
+            # histogram matching to a near-constant original is degenerate
+            if float(jnp.std(init)) > 0.02:
+                gen = I.match_histograms(images, init)
+            images = init * hard + gen * (1 - hard)
         return images

@@ -70,6 +70,35 @@ def test_controlnet_conditioning_changes_output(pipe, rng_key):
     np.testing.assert_allclose(z, base, atol=1e-5)
 
 
+def test_style_adapter_hint(pipe, rng_key):
+    """Style hint: CLIP-vision tokens -> style tokens appended to the
+    cond context."""
+    from gyre_tpu.models import t2i_adapter
+
+    # pipeline's vision tower cfg determines dims
+    pipe.clip_vision()
+    vcfg = pipe._clip_vision_cfg
+    style_params = t2i_adapter.style_init(
+        rng_key, context_dim=64, vision_dim=vcfg.hidden_size, n_tokens=4)
+    cond = np.random.RandomState(3).rand(1, 64, 64, 3).astype(np.float32)
+    kw = dict(prompt="a cat", height=64, width=64, steps=2,
+              sampler="k_euler", seeds=[3], guidance_scale=7.5)
+    base = np.asarray(pipe(**kw))
+    out = np.asarray(pipe(hints=[{"params": style_params, "image": cond,
+                                  "kind": "style", "scale": 1.0}], **kw))
+    assert out.shape == base.shape
+    assert np.abs(out - base).max() > 1e-5
+
+
+def test_coadapter_fuse():
+    from gyre_tpu.models.t2i_adapter import coadapter_fuse
+
+    a = [jnp.ones((1, 4, 4, 8))]
+    b = [jnp.full((1, 4, 4, 8), 2.0)]
+    out = coadapter_fuse([a, b], weights=[0.5, 0.25])
+    np.testing.assert_allclose(np.asarray(out[0]), 1.0)
+
+
 def test_grafted_generation():
     """graftedpaint: root engine + top engine blended past easing start
     (reference tests/graftedpaint.py scenario at unit scale)."""
