@@ -319,7 +319,7 @@ class EngineManager:
                         tile=int(spec.params.get("tile", 128)),
                         compute_dtype=self.compute_dtype)
             elif spec.task in ("depth", "hinter", "edge", "segmentation",
-                               "background_removal"):
+                               "background_removal", "pose"):
                 self._adapted[key] = self._build_hinter(spec)
             else:
                 return None
@@ -342,6 +342,17 @@ class EngineManager:
             def run(img):
                 d = fn(params, jnp.asarray(img, jnp.float32))
                 return jnp.tile(d, (1, 1, 1, 3))
+
+            return run
+        if kind in ("pose", "openpose", "keypose"):
+            from ..models import pose as pose_mod
+
+            params = pose_mod.init(_jax.random.PRNGKey(seed),
+                                   dtype=jnp.float32)
+            fn = _jax.jit(pose_mod.estimate_and_render)
+
+            def run(img):
+                return fn(params, jnp.asarray(img, jnp.float32))
 
             return run
         if kind in ("edge", "hinter", "hed", "soft_edge"):
