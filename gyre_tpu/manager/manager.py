@@ -344,6 +344,16 @@ class EngineManager:
                 return jnp.tile(d, (1, 1, 1, 3))
 
             return run
+        if kind in ("segmentation", "seg"):
+            params = hinters.seg_init(_jax.random.PRNGKey(seed),
+                                      dtype=jnp.float32)
+            fn = _jax.jit(hinters.seg_apply)
+            return lambda img: fn(params, jnp.asarray(img, jnp.float32))
+        if kind in ("background_removal", "bg"):
+            params = hinters.saliency_init(_jax.random.PRNGKey(seed),
+                                           dtype=jnp.float32)
+            fn = _jax.jit(hinters.remove_background)
+            return lambda img: fn(params, jnp.asarray(img, jnp.float32))
         if kind in ("pose", "openpose", "keypose"):
             from ..models import pose as pose_mod
 

@@ -93,6 +93,79 @@ def depth_apply(params: Params, images: jax.Array) -> jax.Array:
     return (depth - dmin) / jnp.maximum(dmax - dmin, 1e-6)
 
 
+# ----------------------------------------------- saliency / segmentation
+
+
+def saliency_init(key, widths=(32, 64, 128, 256),
+                  dtype=jnp.float32) -> Params:
+    """Salient-object network (the reference's background-removal model is
+    InSPyReNet, gyre/pipeline/hinters/; same encoder/decoder shape as
+    DepthNet with a sigmoid mask head)."""
+    p = depth_init(key, widths, dtype)
+    return p
+
+
+def saliency_apply(params: Params, images: jax.Array) -> jax.Array:
+    """-> foreground mask [B,H,W,1] in 0..1."""
+    b, h, w, _ = images.shape
+    d = depth_apply(params, images)  # normalized response map
+    # sharpen into a mask: the head's normalized response thresholds softly
+    return jax.nn.sigmoid((d - 0.5) * 10.0)
+
+
+def remove_background(params: Params, images: jax.Array,
+                      mode: str = "alpha") -> jax.Array:
+    """-> RGBA (alpha mode) or RGB-on-white (solid mode); reference
+    BackgroundRemoval modes."""
+    mask = saliency_apply(params, images)
+    if mode == "solid":
+        return images * mask + (1.0 - mask)
+    return jnp.concatenate([images[..., :3], mask], axis=-1)
+
+
+# ADE20k-ish palette for segmentation rendering (stable, arbitrary colors)
+def _seg_palette(n: int) -> np.ndarray:
+    rs = np.random.RandomState(7)
+    pal = rs.rand(n, 3).astype(np.float32)
+    pal[0] = 0.0
+    return pal
+
+
+def seg_init(key, n_classes: int = 16, widths=(32, 64, 128, 256),
+             dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, 2)
+    p = depth_init(ks[0], widths, dtype)
+    dec_w = widths[0] * 2
+    p["head2"] = L.conv_init(ks[1], 3, 3, dec_w // 2, n_classes, dtype)
+    return p
+
+
+def seg_apply(params: Params, images: jax.Array) -> jax.Array:
+    """-> class-colored segmentation map [B,H,W,3] (reference mmseg
+    pipeline contract: palette-rendered classes)."""
+    b, h, w, _ = images.shape
+    n = params["head2"]["w"].shape[-1]  # static: class count from the head
+    x = images * 2.0 - 1.0
+    feats = []
+    f = L.conv2d(params["stem"], x)
+    for enc in params["enc"]:
+        f = _res_block(enc, f, stride=2)
+        feats.append(f)
+    out = None
+    for fuse, refine, skip in zip(params["fuse"], params["refine"],
+                                  reversed(feats)):
+        lat = L.conv2d(fuse, skip)
+        out = lat if out is None else lat + L.upsample_nearest_2x(out)
+        out = _res_block(refine, out)
+    out = L.upsample_nearest_2x(out)
+    out = jax.nn.relu(L.conv2d(params["head1"], out))
+    logits = L.conv2d(params["head2"], out)
+    logits = jax.image.resize(logits, (b, h, w, n), "bilinear")
+    classes = jnp.argmax(logits, axis=-1)
+    palette = jnp.asarray(_seg_palette(n))
+    return palette[classes]
+
+
 # -------------------------------------------------------------------- HED
 
 

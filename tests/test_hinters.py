@@ -48,6 +48,44 @@ def test_hed_weight_roundtrip(rng_key):
                                atol=1e-5)
 
 
+def test_segmentation_and_background_removal(rng_key):
+    seg_params = hinters.seg_init(rng_key, n_classes=8,
+                                  widths=(8, 16, 32, 32))
+    img = jax.random.uniform(rng_key, (1, 64, 64, 3))
+    seg = hinters.seg_apply(seg_params, img)
+    assert seg.shape == (1, 64, 64, 3)
+    # palette-rendered: limited distinct colors
+    flat = np.asarray(seg).reshape(-1, 3)
+    assert len(np.unique(flat, axis=0)) <= 8
+
+    sal_params = hinters.saliency_init(rng_key, widths=(8, 16, 32, 32))
+    rgba = hinters.remove_background(sal_params, img)
+    assert rgba.shape == (1, 64, 64, 4)
+    assert 0 <= float(rgba[..., 3].min()) and float(rgba[..., 3].max()) <= 1
+
+
+def test_seg_bg_task_engines():
+    from gyre_tpu.generated import generation_pb2 as pb
+    from gyre_tpu.manager.manager import EngineManager
+    from gyre_tpu.services.adjustments import apply_image_adjustment
+
+    m = EngineManager(
+        [{"id": "gen", "model": "preset/test", "default": True},
+         {"id": "seg", "task": "segmentation"},
+         {"id": "bg", "task": "background_removal"}],
+        compute_dtype=jnp.float32)
+    img = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3),
+                      jnp.float32)
+    adj = pb.ImageAdjustment()
+    adj.segmentation.SetInParent()
+    out = apply_image_adjustment(img, [adj], m, None)
+    assert out.shape == (1, 64, 64, 3)
+    adj2 = pb.ImageAdjustment()
+    adj2.background_removal.SetInParent()
+    out2 = apply_image_adjustment(img, [adj2], m, None)
+    assert out2.shape[-1] == 4
+
+
 def test_depth_task_engine_in_adjustments():
     from gyre_tpu.generated import generation_pb2 as pb
     from gyre_tpu.manager.manager import EngineManager
