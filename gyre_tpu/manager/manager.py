@@ -391,6 +391,24 @@ class EngineManager:
         cfg = ms.config.unet if ms else None
         return self.hintsets.for_type(hint_type, cfg)
 
+    def suggest_max_batch(self, engine_id: str, height: int = 512,
+                          width: int = 512) -> int:
+        """HBM-budget batch estimate (the reference's BatchMode
+        points/autodetect analogue, gyre/manager.py:202-282: instead of
+        CUDA probe runs, estimate from device memory stats and the
+        engine's activation footprint)."""
+        from ..utils.monitor import device_memory_stats
+
+        stats = device_memory_stats()
+        limit = max((s.get("bytes_limit") or 0) for s in stats) or \
+            16 * 1024 ** 3
+        used = max((s.get("bytes_in_use") or 0) for s in stats)
+        free = max(limit - used, 1 << 30)
+        # empirical: SD1.5 512^2 CFG step peaks ~1.2 GB activations/image;
+        # scales with latent pixels
+        per_image = 1.2e9 * (height * width) / (512 * 512)
+        return max(1, min(int(free / per_image), 64))
+
     def status(self) -> list[dict]:
         return [
             {"id": s.id, "name": s.name, "task": s.task,

@@ -327,6 +327,16 @@ class GenerationServiceServicer:
 
         p = extract_params(request, adjuster=adjuster)
 
+        # engine option defaults (reference set_options / pipeline_meta):
+        # a request without an explicit sampler uses the engine's default
+        if not request.image.HasField("transform"):
+            try:
+                spec0 = self.manager.spec(
+                    p.engine_id or self.manager.default_engine_id())
+                p.sampler = spec0.options.get("sampler", p.sampler)
+            except KeyError:
+                pass
+
         # upscaler engines: transform the init image, no diffusion
         if p.engine_id:
             try:

@@ -136,6 +136,33 @@ def test_grpc_gateway_list_engines(base_url):
     assert status == 200 and doc["engine"][0]["id"] == "test-engine"
 
 
+def test_grpc_web_channel_client(base_url):
+    """The WebChannel client (sonora-equivalent) against the live server."""
+    from gyre_tpu.http.grpc_web_client import GrpcWebError, WebChannel
+
+    chan = WebChannel(base_url)
+    generate = chan.unary_stream(
+        "/gooseai.GenerationService/Generate",
+        pb.Request.SerializeToString, pb.Answer.FromString)
+    req = pb.Request(engine_id="test-engine")
+    req.prompt.add().text = "web channel"
+    req.image.height = 64
+    req.image.width = 64
+    req.image.steps = 2
+    req.image.seed.append(9)
+    answers = list(generate(req))
+    assert answers[0].artifacts[0].type == pb.ARTIFACT_IMAGE
+
+    # error propagation: unknown engine -> grpc-status != 0
+    bad = pb.Request(engine_id="nope")
+    bad.prompt.add().text = "x"
+    bad.image.height = 64
+    bad.image.width = 64
+    bad.image.steps = 2
+    with pytest.raises(GrpcWebError):
+        list(generate(bad))
+
+
 def test_grpc_web_generate(base_url):
     req = pb.Request(engine_id="test-engine")
     p = req.prompt.add()
