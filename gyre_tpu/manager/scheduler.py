@@ -41,6 +41,7 @@ class Job:
         kw = self.kwargs
         if kw.get("init_image") is not None or \
                 kw.get("mask_image") is not None or kw.get("hints") or \
+                kw.get("depth_map") is not None or \
                 kw.get("hires_fix") or kw.get("clip_guidance_scale"):
             return None  # solo
         return (id(self.pipe), kw.get("height"), kw.get("width"),

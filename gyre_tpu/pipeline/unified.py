@@ -427,6 +427,7 @@ class UnifiedPipeline:
                  masked_area_init: str = "shaped",
                  tiling: bool | str = False,
                  hints: list | None = None,
+                 depth_map=None,           # [B,H,W,1] for depth2img unets
                  hires_fix: bool | None = None,
                  hires_oos_fraction: float = 0.25,
                  clip_guidance_scale: float = 0.0,
@@ -456,13 +457,15 @@ class UnifiedPipeline:
             mode = "img2img"
         if mask_image is not None:
             mode = "inpaint9" if ms.config.unet.in_channels == 9 else "inpaint"
+        elif ms.config.unet.in_channels == 5:
+            mode = "depth2img"  # depth-conditioned unet (SD2-depth family)
 
         # default eta: ancestral k-samplers expect 1, ddim defaults 0
         if eta is None:
             eta = 1.0 if ("ancestral" in sampler or "sde" in sampler
                           or sampler == "ddpm") else 0.0
 
-        full_strength = mode == "txt2img" or (
+        full_strength = mode == "txt2img" or init_image is None or (
             mask_image is not None and strength >= 1.0)
         sigmas_np = sched.build_sigmas(
             self.schedule, steps,
@@ -543,6 +546,24 @@ class UnifiedPipeline:
                 mask_keep = mk8
                 # 9-channel inpaint diffuses the full canvas from noise
                 init_latents = self.vae_encode(jnp.asarray(init_image), keys)
+
+        if mode == "depth2img":
+            # 5th unet channel: latent-res depth map, normalized to [-1,1]
+            # (reference UnetWithExtraChannels, gyre/pipeline/unet/core.py)
+            if depth_map is None and init_image is not None:
+                from ..ops import images as I
+
+                g = I.gaussian_blur(I.to_grayscale(jnp.asarray(init_image)),
+                                    2.0)
+                depth_map = I.normalise(g)
+            if depth_map is None:
+                raise ValueError("depth2img engine needs a depth_map or "
+                                 "init image")
+            d = jnp.asarray(depth_map, jnp.float32)[..., :1]
+            d = jax.image.resize(d, (batch, lh, lw, 1), "bilinear")
+            dmin = jnp.min(d, axis=(1, 2, 3), keepdims=True)
+            dmax = jnp.max(d, axis=(1, 2, 3), keepdims=True)
+            extra = 2.0 * (d - dmin) / jnp.maximum(dmax - dmin, 1e-6) - 1.0
 
         if isinstance(tiling, str):
             tiling_xy = (tiling in ("x", "xy", "both", "true"),

@@ -61,6 +61,7 @@ class ExtractedParams:
     strength: float = 1.0
     init_image: np.ndarray | None = None
     mask_image: np.ndarray | None = None
+    depth_map: np.ndarray | None = None
     masked_area_init: str = "shaped"
     hires_fix: bool | None = None
     hires_oos_fraction: float = 0.25
@@ -119,6 +120,9 @@ def extract_params(request: pb.Request, adjuster=None) -> ExtractedParams:
                 mask = adjust(I.decode_png(art.binary), art)
                 mask = adjust(mask, art, post=True)
                 p.mask_image = mask[..., :1]
+            elif art.type == pb.ARTIFACT_DEPTH:
+                depth = adjust(I.decode_png(art.binary), art)
+                p.depth_map = depth[..., :1]
             elif art.type == pb.ARTIFACT_LORA:
                 p.lora_artifacts.append((art, weight))
             elif art.type == pb.ARTIFACT_TOKEN_EMBEDDING:
@@ -414,6 +418,9 @@ class GenerationServiceServicer:
                     sigma_max=p.sigma_max,
                     masked_area_init=p.masked_area_init, tiling=p.tiling,
                     hints=hints,
+                    depth_map=p.depth_map if p.depth_map is None else
+                    np.broadcast_to(p.depth_map,
+                                    (len(batch),) + p.depth_map.shape[1:]),
                     hires_fix=p.hires_fix,
                     hires_oos_fraction=p.hires_oos_fraction,
                     clip_guidance_scale=p.clip_guidance_scale,

@@ -130,6 +130,28 @@ def test_hires_fix(pipe):
     assert np.abs(img - plain).max() > 1e-4
 
 
+def test_depth2img_five_channel():
+    """5-channel depth2img unet: depth map as an unscaled extra channel."""
+    import dataclasses as dc
+
+    from gyre_tpu.models.modelset import random_modelset as rms
+
+    cfg = dc.replace(configs.SD_TEST,
+                     unet=dc.replace(configs.UNET_TEST, in_channels=5))
+    ms = rms(cfg, seed=0, dtype=jnp.float32)
+    dp = UnifiedPipeline(ms, compute_dtype=jnp.float32)
+    depth_a = np.tile(np.linspace(0, 1, SIZE, dtype=np.float32)
+                      [None, :, None], (SIZE, 1, 1))[None]
+    depth_b = 1.0 - depth_a
+    kw = dict(prompt="a room", height=SIZE, width=SIZE, steps=2,
+              sampler="k_euler", seeds=[2], guidance_scale=7.5)
+    a = np.asarray(dp(depth_map=depth_a, **kw))
+    b = np.asarray(dp(depth_map=depth_b, **kw))
+    assert a.shape == (1, SIZE, SIZE, 3)
+    assert np.isfinite(a).all()
+    assert np.abs(a - b).max() > 1e-4  # depth conditions the result
+
+
 def test_sdxl_dual_tower_path():
     """SDXL-topology: dual-tower context concat + pooled text_embeds +
     time_ids conditioning through the full pipeline."""
