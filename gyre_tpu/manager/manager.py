@@ -318,6 +318,18 @@ class EngineManager:
                         num_blocks=int(spec.params.get("blocks", 23)),
                         tile=int(spec.params.get("tile", 128)),
                         compute_dtype=self.compute_dtype)
+            elif spec.task in ("face_restore", "codeformer"):
+                import jax as _jax
+
+                from ..models import codeformer
+
+                cf_params = codeformer.init(_jax.random.PRNGKey(0),
+                                            dtype=jnp.float32)
+                fidelity = float(spec.params.get("fidelity", 0.5))
+                fn = _jax.jit(lambda pr, x: codeformer.restore(
+                    pr, x, fidelity=fidelity))
+                self._adapted[key] = \
+                    lambda img: fn(cf_params, jnp.asarray(img, jnp.float32))
             elif spec.task in ("depth", "hinter", "edge", "segmentation",
                                "background_removal", "pose"):
                 self._adapted[key] = self._build_hinter(spec)
