@@ -331,15 +331,25 @@ class GenerationServiceServicer:
 
         p = extract_params(request, adjuster=adjuster)
 
-        # engine option defaults (reference set_options / pipeline_meta):
-        # a request without an explicit sampler uses the engine's default
+        # engine option defaults (reference set_options / pipeline_meta,
+        # gyre/pipeline/unified_pipeline.py:1538-1629): request-level values
+        # win; unset fields fall back to the engine's options
+        try:
+            spec0 = self.manager.spec(
+                p.engine_id or self.manager.default_engine_id())
+            opts = spec0.options or {}
+        except KeyError:
+            opts = {}
         if not request.image.HasField("transform"):
-            try:
-                spec0 = self.manager.spec(
-                    p.engine_id or self.manager.default_engine_id())
-                p.sampler = spec0.options.get("sampler", p.sampler)
-            except KeyError:
-                pass
+            p.sampler = opts.get("sampler", p.sampler)
+        if p.karras_rho is None and "karras_rho" in opts:
+            p.karras_rho = float(opts["karras_rho"])
+        if not p.churn and "churn" in opts:
+            p.churn = float(opts["churn"])
+        if p.hires_fix is None and "hires_fix" in opts:
+            p.hires_fix = bool(opts["hires_fix"])
+        if p.clip_guidance_scale == 0 and "clip_guidance_scale" in opts:
+            p.clip_guidance_scale = float(opts["clip_guidance_scale"])
 
         # upscaler engines: transform the init image, no diffusion
         if p.engine_id:
