@@ -173,15 +173,13 @@ def attention(q, k, v, mask=None, scale: float | None = None,
     """
     d = q.shape[-1]
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
-    # flash also when the materialized f32 logits would pressure HBM
-    # (batch-16 CFG at 512^2: 32*8*4096^2*4B = 17 GB -> XLA spills and
-    # throughput regresses; flash never materializes them)
-    b, tq, h, _ = q.shape
-    tk = k.shape[1]
-    logits_bytes = b * h * tq * tk * 4
+    # measured on v5e-1: XLA's fused attention tiles the softmax without
+    # materializing [T,T] logits up to T=4096 even at batch 32, and beats
+    # the flash kernel there (whose head-dim lane padding inflates FLOPs);
+    # flash takes over only where XLA's path genuinely OOMs (T>=8192)
     use_flash = (impl == "flash" or
                  (impl == "auto" and mask is None and _on_tpu() and
-                  (tq >= FLASH_MIN_SEQ or logits_bytes > 2 << 30)))
+                  q.shape[1] >= FLASH_MIN_SEQ))
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
