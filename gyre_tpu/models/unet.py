@@ -92,9 +92,15 @@ def _tblock_init(key, dim, ctx_dim, dtype):
     }
 
 
-def _tblock(p, x, ctx, heads):
+def _tblock(p, x, ctx, heads, tome_ratio: float = 0.0):
     h = L.layer_norm(p["ln1"], x)
-    x = x + _attn(p["attn1"], h, h, heads)
+    if tome_ratio > 0:
+        from ..ops import tome
+
+        x = x + tome.tome_self_attention(
+            lambda t: _attn(p["attn1"], t, t, heads), h, tome_ratio)
+    else:
+        x = x + _attn(p["attn1"], h, h, heads)
     h = L.layer_norm(p["ln2"], x)
     x = x + _attn(p["attn2"], h, ctx, heads)
     h = L.layer_norm(p["ln3"], x)
@@ -118,7 +124,7 @@ def _transformer_init(key, dim, ctx_dim, n_layers, linear_proj, groups, dtype):
     return p
 
 
-def _transformer(p, x, ctx, heads, groups, linear_proj):
+def _transformer(p, x, ctx, heads, groups, linear_proj, tome_ratio=0.0):
     """Spatial transformer over NHWC feature map."""
     b, h, w, c = x.shape
     res = x
@@ -130,7 +136,7 @@ def _transformer(p, x, ctx, heads, groups, linear_proj):
         x = L.conv2d(p["proj_in"], x)
         x = x.reshape(b, h * w, c)
     for blk in p["blocks"]:
-        x = _tblock(blk, x, ctx, heads)
+        x = _tblock(blk, x, ctx, heads, tome_ratio)
     if linear_proj:
         x = L.linear(p["proj_out"], x)
         x = x.reshape(b, h, w, c)
@@ -226,7 +232,8 @@ def apply(params: Params, cfg: UNetConfig, x: jax.Array, timesteps: jax.Array,
           down_residuals: list | None = None,
           mid_residual: jax.Array | None = None,
           adapter_states: list | None = None,
-          tiling: tuple[bool, bool] = (False, False)) -> jax.Array:
+          tiling: tuple[bool, bool] = (False, False),
+          tome_ratio: float = 0.0) -> jax.Array:
     """Predict noise (or v): x [B,H,W,Cin], timesteps [B], context [B,S,D].
 
     added_cond (SDXL): {"text_embeds": [B,1280], "time_ids": [B,6]}.
@@ -260,7 +267,7 @@ def apply(params: Params, cfg: UNetConfig, x: jax.Array, timesteps: jax.Array,
             if blk["attns"]:
                 h = _transformer(blk["attns"][i], h, context,
                                  cfg.num_heads[lvl], groups,
-                                 cfg.linear_projection)
+                                 cfg.linear_projection, tome_ratio)
             # T2I-Adapter features: added after the level's last resnet
             # (channels == block_out[lvl], the adapter's ladder)
             if (adapter_states is not None and
@@ -282,7 +289,7 @@ def apply(params: Params, cfg: UNetConfig, x: jax.Array, timesteps: jax.Array,
     if "attn" in mid:
         h = _transformer(mid["attn"], h, context,
                          cfg.num_heads[cfg.levels - 1], groups,
-                         cfg.linear_projection)
+                         cfg.linear_projection, tome_ratio)
     h = _resnet(mid["res2"], h, temb, groups, tiling)
     if mid_residual is not None:
         h = h + mid_residual.astype(dtype)
@@ -296,7 +303,7 @@ def apply(params: Params, cfg: UNetConfig, x: jax.Array, timesteps: jax.Array,
             if blk["attns"]:
                 h = _transformer(blk["attns"][j], h, context,
                                  cfg.num_heads[lvl], groups,
-                                 cfg.linear_projection)
+                                 cfg.linear_projection, tome_ratio)
         if "upsample" in blk:
             h = L.upsample_nearest_2x(h)
             h = L.conv2d_tiled(blk["upsample"], h,

@@ -57,6 +57,7 @@ class StaticSpec:
     clip_guidance: float = 0.0   # CLIP-gradient steering scale
     clip_cutouts: int = 4
     noise_type: str = "normal"   # normal | brownian
+    tome_ratio: float = 0.0      # token-merging fraction (0 = off)
     resume: bool = False         # chunked dispatch: x carried in, no init
     final_chunk: bool = True     # apply final blends / return x0
 
@@ -240,7 +241,8 @@ class UnifiedPipeline:
         def raw_unet(params, x, t, context, **kw):
             out = unet_mod.apply(params, unet_cfg, x.astype(cdt), t,
                                  context.astype(cdt),
-                                 tiling=spec.tiling, **kw)
+                                 tiling=spec.tiling,
+                                 tome_ratio=spec.tome_ratio, **kw)
             return out.astype(jnp.float32)
 
         p = samplers.SamplerParams(
@@ -433,6 +435,7 @@ class UnifiedPipeline:
                  clip_guidance_scale: float = 0.0,
                  clip_cutouts: int = 4,
                  noise_type: str = "normal",
+                 tome_ratio: float = 0.0,
                  progress_callback=None,
                  stop_event=None,
                  chunk_steps: int = 0,
@@ -676,7 +679,8 @@ class UnifiedPipeline:
             graft_prediction=graft_pred,
             clip_guidance=float(clip_guidance_scale),
             clip_cutouts=int(clip_cutouts),
-            noise_type=noise_type)
+            noise_type=noise_type,
+            tome_ratio=float(tome_ratio))
 
         clip_vision_params = None
         clip_target = None
