@@ -291,6 +291,7 @@ class AsyncContext:
         self.stop_event = threading.Event()
         self.done = False
         self.deadline = None
+        self.progress = ""  # human-readable status (AsyncStatus.message)
 
     def finish(self):
         self.done = True
@@ -536,12 +537,16 @@ class GenerationServiceServicer:
 
         def run():
             try:
+                n = 0
                 for answer in self.Generate(request, None):
                     if ctx.stop_event.is_set():
                         break
                     ctx.queue.put(answer)
+                    n += 1
+                    ctx.progress = f"{n} artifact(s) ready"
             except Exception as e:  # noqa: BLE001
                 logger.error("async generate failed: %s", e)
+                ctx.progress = f"error: {e}"
             finally:
                 ctx.finish()
 
@@ -565,7 +570,10 @@ class GenerationServiceServicer:
         if complete:
             with self._async_lock:
                 self._async.pop(handle.async_handle, None)
-        return pb.AsyncAnswer(answer=answers, complete=complete)
+        out = pb.AsyncAnswer(answer=answers, complete=complete)
+        if ctx.progress:
+            out.status.message = ctx.progress
+        return out
 
     @exception_to_grpc()
     def AsyncCancel(self, handle: pb.AsyncHandle, context):
