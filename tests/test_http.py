@@ -120,6 +120,47 @@ def test_rest_image_to_image(base_url):
     assert status == 200, body
 
 
+def test_rest_multipart_masking(base_url):
+    """multipart/form-data masking request with nested form fields
+    (text_prompts[0][text]) and file parts."""
+    import uuid
+
+    boundary = uuid.uuid4().hex
+    init = np.full((1, 64, 64, 3), 0.5, np.float32)
+    mask = np.zeros((1, 64, 64, 1), np.float32)
+    mask[:, :32] = 1.0
+
+    def part(name, value, filename=None, ctype=None):
+        head = f'Content-Disposition: form-data; name="{name}"'
+        if filename:
+            head += f'; filename="{filename}"'
+        head = head.encode()
+        if ctype:
+            head += f"\r\nContent-Type: {ctype}".encode()
+        body = value if isinstance(value, bytes) else str(value).encode()
+        return b"--" + boundary.encode() + b"\r\n" + head + \
+            b"\r\n\r\n" + body + b"\r\n"
+
+    payload = b"".join([
+        part("text_prompts[0][text]", "a multipart test"),
+        part("text_prompts[0][weight]", "1.0"),
+        part("height", "64"), part("width", "64"), part("steps", "2"),
+        part("seed", "3"),
+        part("mask_source", "MASK_IMAGE_WHITE"),
+        part("init_image", I.encode_png(init), "init.png", "image/png"),
+        part("mask_image", I.encode_png(mask), "mask.png", "image/png"),
+    ]) + b"--" + boundary.encode() + b"--\r\n"
+
+    status, headers, body = _post(
+        base_url + "/v1/generation/test-engine/masking", payload,
+        {"Content-Type": f"multipart/form-data; boundary={boundary}"})
+    assert status == 200, body
+    doc = json.loads(body)
+    img = I.decode_png(base64.b64decode(doc["artifacts"][0]["base64"]))
+    # kept bottom area stays the init color
+    np.testing.assert_allclose(img[0, 56:], 0.5, atol=0.02)
+
+
 def test_rest_validation_error(base_url):
     status, headers, body = _post(
         base_url + "/v1/generation/test-engine/text-to-image",
