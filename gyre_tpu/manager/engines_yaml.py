@@ -205,6 +205,64 @@ def merge_by_id(entries: list[dict]) -> list[dict]:
     return out
 
 
+def check_and_update(dist_dir: str, user_dir: str,
+                     attic_name: str = "_attic") -> list[str]:
+    """Sync distributed config files into a user config dir: unedited user
+    copies (content matches any previously-shipped hash) are updated in
+    place; edited ones are left alone with the new dist file written
+    alongside as `<name>.new`; obsolete unedited files retire to _attic
+    (reference git-blob-hash auto-update, gyre/engines_yaml.py:381-435).
+
+    Returns the list of updated/created file names."""
+    import hashlib
+    import shutil
+
+    os.makedirs(user_dir, exist_ok=True)
+    hashes_path = os.path.join(user_dir, ".dist_hashes")
+    old_hashes: dict[str, str] = {}
+    if os.path.exists(hashes_path):
+        with open(hashes_path) as fh:
+            for line in fh:
+                h, _, name = line.strip().partition(" ")
+                if name:
+                    old_hashes[name] = h
+
+    def digest(path):
+        with open(path, "rb") as fh:
+            return hashlib.sha1(fh.read()).hexdigest()
+
+    changed = []
+    new_hashes = {}
+    for name in sorted(os.listdir(dist_dir)):
+        src = os.path.join(dist_dir, name)
+        if not os.path.isfile(src):
+            continue
+        new_hashes[name] = digest(src)
+        dst = os.path.join(user_dir, name)
+        if not os.path.exists(dst):
+            shutil.copy2(src, dst)
+            changed.append(name)
+        elif digest(dst) == old_hashes.get(name):
+            if digest(dst) != new_hashes[name]:
+                shutil.copy2(src, dst)
+                changed.append(name)
+        elif digest(dst) != new_hashes[name]:
+            shutil.copy2(src, dst + ".new")  # user-edited: don't clobber
+    # retire unedited files no longer shipped
+    for name, h in old_hashes.items():
+        if name in new_hashes:
+            continue
+        dst = os.path.join(user_dir, name)
+        if os.path.exists(dst) and digest(dst) == h:
+            attic = os.path.join(user_dir, attic_name)
+            os.makedirs(attic, exist_ok=True)
+            shutil.move(dst, os.path.join(attic, name))
+    with open(hashes_path, "w") as fh:
+        for name, h in new_hashes.items():
+            fh.write(f"{h} {name}\n")
+    return changed
+
+
 def load(path: str, flags: dict[str, bool] | None = None,
          vars: dict | None = None) -> list[dict]:
     """Load an engines.yaml (with includes/templates/overlays resolved)."""

@@ -204,7 +204,17 @@ class EngineManager:
             spec = self.spec(engine_id)
             if not spec.enabled:
                 raise EngineNotFoundError(engine_id)
-            self._modelsets[engine_id] = self._build_modelset(spec)
+            try:
+                self._modelsets[engine_id] = self._build_modelset(spec)
+            except Exception as e:  # noqa: BLE001
+                # engine `fallback:` spec (reference gyre/manager.py:
+                # 1662-1668): failed loads fall back to another engine
+                fb = spec.params.get("fallback")
+                if not fb:
+                    raise
+                logger.warning("engine %s failed to load (%s); falling "
+                               "back to %s", engine_id, e, fb)
+                self._modelsets[engine_id] = self.modelset(fb)
         return self._modelsets[engine_id]
 
     def pipeline(self, engine_id: str) -> UnifiedPipeline:

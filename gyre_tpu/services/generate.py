@@ -455,7 +455,10 @@ class GenerationServiceServicer:
                 for j, seed in enumerate(batch):
                     md = dict(meta, seed=seed, index=index)
                     md = {k: str(v) for k, v in md.items()}
-                    yield imgs[j], seed, index, md, bool(flags[j])
+                    img_j = imgs[j]
+                    if flags[j] and self.nsfw_behaviour == "block":
+                        img_j = np.zeros_like(img_j)
+                    yield img_j, seed, index, md, bool(flags[j])
                     index += 1
             # echo artifacts
             for art in p.echo_artifacts:

@@ -104,6 +104,44 @@ def test_recursion_guard(tmp_path):
         engines_yaml.load(main)
 
 
+def test_check_and_update(tmp_path):
+    dist = tmp_path / "dist"
+    user = tmp_path / "user"
+    dist.mkdir()
+    (dist / "a.yaml").write_text("- id: a\n")
+    (dist / "b.yaml").write_text("- id: b\n")
+    changed = engines_yaml.check_and_update(str(dist), str(user))
+    assert sorted(changed) == ["a.yaml", "b.yaml"]
+    # user edits b; dist updates both
+    (user / "b.yaml").write_text("- id: b\n  name: edited\n")
+    (dist / "a.yaml").write_text("- id: a\n  name: v2\n")
+    (dist / "b.yaml").write_text("- id: b\n  name: v2\n")
+    changed = engines_yaml.check_and_update(str(dist), str(user))
+    assert changed == ["a.yaml"]
+    assert "v2" in (user / "a.yaml").read_text()          # auto-updated
+    assert "edited" in (user / "b.yaml").read_text()      # preserved
+    assert (user / "b.yaml.new").exists()                 # new version aside
+    # a.yaml removed from dist: unedited copy retires to _attic
+    (dist / "a.yaml").unlink()
+    engines_yaml.check_and_update(str(dist), str(user))
+    assert not (user / "a.yaml").exists()
+    assert (user / "_attic" / "a.yaml").exists()
+
+
+def test_engine_fallback():
+    import jax.numpy as jnp
+
+    from gyre_tpu.manager.manager import EngineManager
+
+    m = EngineManager(
+        [{"id": "broken", "model": "/nonexistent/path", "default": True,
+          "fallback": "ok"},
+         {"id": "ok", "model": "preset/test"}],
+        compute_dtype=jnp.float32)
+    ms = m.modelset("broken")
+    assert ms.id.startswith("ok")
+
+
 def test_dist_config_loads():
     root = os.path.join(os.path.dirname(__file__), "..", "config",
                         "engines.yaml")
