@@ -161,8 +161,34 @@ class HttpHandler(BaseHTTPRequestHandler):
 
     image_cache = None
     log_store = None
+    proxies: dict[str, str] = {}
+
+    def _maybe_proxy(self, method: str) -> bool:
+        """Configured reverse proxies (reference gyre/http/reverse_proxy.py):
+        /p/<name>/... forwards to the mapped upstream."""
+        m = re.match(r"/p/([\w-]+)(/.*)?$", self.path)
+        if not m or m.group(1) not in self.proxies:
+            return False
+        import urllib.request
+
+        upstream = self.proxies[m.group(1)].rstrip("/") + (m.group(2) or "/")
+        body = self._body() if method == "POST" else None
+        req = urllib.request.Request(upstream, data=body, method=method)
+        for k in ("Content-Type", "Accept", "Authorization"):
+            if self.headers.get(k):
+                req.add_header(k, self.headers[k])
+        try:
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                self._send(resp.status,
+                           resp.headers.get("Content-Type", "text/plain"),
+                           resp.read())
+        except Exception as e:  # noqa: BLE001
+            self._send_json({"message": f"proxy error: {e}"}, 502)
+        return True
 
     def do_GET(self):
+        if self._maybe_proxy("GET"):
+            return
         path = self.path.split("?")[0]
         if path.startswith("/log/") and self.image_cache is not None:
             data = self.image_cache.get(path[5:])
@@ -188,6 +214,8 @@ class HttpHandler(BaseHTTPRequestHandler):
         self._send_json({"message": "not found"}, 404)
 
     def do_POST(self):
+        if self._maybe_proxy("POST"):
+            return
         path = self.path.split("?")[0]
         ctype = self.headers.get("Content-Type", "")
         try:
@@ -300,7 +328,7 @@ class HttpHandler(BaseHTTPRequestHandler):
 
 def make_http_server(host: str, port: int, *, manager, generation, engines,
                      access_keys=None, image_cache=None,
-                     log_store=None) -> ThreadingHTTPServer:
+                     log_store=None, proxies=None) -> ThreadingHTTPServer:
     handler = type("BoundHandler", (HttpHandler,), {
         "manager": manager,
         "generation": generation,
@@ -308,6 +336,7 @@ def make_http_server(host: str, port: int, *, manager, generation, engines,
         "access_keys": set(access_keys or []) or {},
         "image_cache": image_cache,
         "log_store": log_store,
+        "proxies": dict(proxies or {}),
     })
     return ThreadingHTTPServer((host, port), handler)
 

@@ -39,6 +39,9 @@ def parse_args(argv=None):
                      default=environ_bool("SD_LISTEN_TO_ALL"))
     net.add_argument("--access_token", type=str,
                      default=os.environ.get("SD_ACCESS_TOKEN") or None)
+    net.add_argument("--proxy", action="append", dest="proxies",
+                     default=environ_list("SD_PROXY") or None,
+                     help="name=url reverse proxy mappings (/p/<name>/...)")
 
     gen = p.add_argument_group("generation")
     gen.add_argument("--enginecfg", type=str,
@@ -218,7 +221,8 @@ def main(argv=None):
         http_host, args.http_port, manager=manager, generation=generation,
         engines=engines,
         access_keys=[args.access_token] if args.access_token else None,
-        image_cache=cache, log_store=log_store)
+        image_cache=cache, log_store=log_store,
+        proxies=dict(p.split("=", 1) for p in (args.proxies or [])))
     start_http_server(http_server)
     logger.info("HTTP listening on %s:%d", http_host or "*", args.http_port)
 

@@ -177,6 +177,44 @@ def test_grpc_gateway_list_engines(base_url):
     assert status == 200 and doc["engine"][0]["id"] == "test-engine"
 
 
+def test_reverse_proxy():
+    """Configured /p/<name>/ routes forward to the upstream."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class Upstream(BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = b'{"upstream": true, "path": "' + \
+                self.path.encode() + b'"}'
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    up = HTTPServer(("localhost", 0), Upstream)
+    threading.Thread(target=up.serve_forever, daemon=True).start()
+    up_port = up.server_address[1]
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    server = make_http_server(
+        "localhost", port, manager=None, generation=None, engines=None,
+        proxies={"ui": f"http://localhost:{up_port}"})
+    start_http_server(server)
+    try:
+        status, body = _get(f"http://localhost:{port}/p/ui/some/page")
+        doc = json.loads(body)
+        assert doc["upstream"] and doc["path"] == "/some/page"
+    finally:
+        server.shutdown()
+        up.shutdown()
+
+
 def test_grpc_web_channel_client(base_url):
     """The WebChannel client (sonora-equivalent) against the live server."""
     from gyre_tpu.http.grpc_web_client import GrpcWebError, WebChannel
