@@ -387,7 +387,12 @@ class EngineManager:
                 return fn(params, jnp.asarray(img, jnp.float32))
 
             return run
-        if kind in ("edge", "hinter", "hed", "soft_edge"):
+        if kind in ("mlsd", "lines"):
+            params = hinters.mlsd_init(_jax.random.PRNGKey(seed),
+                                       dtype=jnp.float32)
+            fn = _jax.jit(hinters.mlsd_apply)
+            return lambda img: fn(params, jnp.asarray(img, jnp.float32))
+        if kind in ("edge", "hinter", "hed", "soft_edge", "lineart"):
             path = spec.model if isinstance(spec.model, str) else None
             if path:
                 from ..models.load import read_safetensors
