@@ -84,7 +84,7 @@ def make_clip_guided_denoiser(denoise, vision_params, vision_cfg,
     def wrapped(x, sigma):
         def loss_fn(xv):
             x0 = denoise(xv, sigma)
-            rgb = approx_decode(x0 / 0.18215 * 0.18215)  # scaled latents
+            rgb = approx_decode(x0)  # matrix expects scaled latents
             cut_keys = jax.vmap(
                 lambda k: rngu.stream(k, "clip_cuts"))(keys)
             cuts = make_cutouts(rgb, cut_keys, num_cutouts,
