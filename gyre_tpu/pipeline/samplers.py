@@ -214,12 +214,39 @@ def _lms_coefficients(sigmas: np.ndarray, order: int = 4) -> np.ndarray:
     return coeffs
 
 
+def _lms_coefficients_traced(sigmas, order: int = 4) -> jnp.ndarray:
+    """Adams-Bashforth coefficients as traceable jnp ops (the host-side
+    numpy version can't run on traced sigma ramps inside jit)."""
+    n = sigmas.shape[0] - 1
+    rows = []
+    for i in range(n):
+        cur = min(i + 1, order)
+        ts = jnp.linspace(sigmas[i], sigmas[i + 1], 128)
+        row = []
+        for j in range(order):
+            if j >= cur:
+                row.append(jnp.asarray(0.0, sigmas.dtype))
+                continue
+            prod = jnp.ones_like(ts)
+            for k in range(cur):
+                if k == j:
+                    continue
+                prod = prod * (ts - sigmas[i - k]) / \
+                    (sigmas[i - j] - sigmas[i - k])
+            row.append(jnp.trapezoid(prod, ts))
+        rows.append(jnp.stack(row))
+    return jnp.stack(rows)
+
+
 def sample_lms(denoise, x, sigmas, noise_fn, p: SamplerParams, *,
                order: int = 4, coeffs: jnp.ndarray | None = None):
     n = sigmas.shape[0] - 1
     if coeffs is None:
-        coeffs = jnp.asarray(_lms_coefficients(np.asarray(sigmas), order),
-                             x.dtype)
+        if isinstance(sigmas, jax.core.Tracer):
+            coeffs = _lms_coefficients_traced(sigmas, order).astype(x.dtype)
+        else:
+            coeffs = jnp.asarray(
+                _lms_coefficients(np.asarray(sigmas), order), x.dtype)
 
     def body(carry, i):
         x, ds = carry  # ds: [order, ...] ring buffer of derivatives

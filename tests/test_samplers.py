@@ -181,6 +181,29 @@ def test_brownian_noise_step_count_consistency():
                                np.asarray(nf_bn(1, "anc")), atol=1e-6)
 
 
+def test_lms_traced_coefficients_match_host():
+    """k_lms must work with traced sigma ramps (inside jit) and agree with
+    the host-side numpy quadrature."""
+    sigmas_np = sched.build_sigmas(SCHEDULE, 12, karras_rho=7.0)
+    host = S._lms_coefficients(sigmas_np, 4)
+    traced = jax.jit(lambda s: S._lms_coefficients_traced(s, 4))(
+        jnp.asarray(sigmas_np, jnp.float32))
+    np.testing.assert_allclose(np.asarray(traced), host, rtol=1e-3,
+                               atol=1e-4)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), SHAPE) * \
+        float(sigmas_np[0])
+
+    out_jit = jax.jit(lambda x, s: S.sample_lms(
+        ideal_denoise, x, s, make_noise_fn(), S.SamplerParams()))(
+        x, jnp.asarray(sigmas_np, jnp.float32))
+    out_host = S.sample_lms(ideal_denoise, x,
+                            jnp.asarray(sigmas_np, jnp.float32),
+                            make_noise_fn(), S.SamplerParams())
+    np.testing.assert_allclose(np.asarray(out_jit), np.asarray(out_host),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_proto_sampler_map_complete():
     from gyre_tpu.generated import generation_pb2 as g
 
