@@ -20,10 +20,32 @@ import jax.numpy as jnp
 from ..utils import rng as rngu
 
 
-def txt2img_initial(keys, shape, sigma_max, dtype=jnp.float32):
-    """Pure-noise initial latents at sigma_max. keys [B,2]."""
-    noise = rngu.batched_stream_normal(keys, "init", 0, shape, dtype)
-    return noise * sigma_max
+def txt2img_initial(keys, shape, sigma_max, dtype=jnp.float32,
+                    natural: int = 0):
+    """Pure-noise initial latents at sigma_max. keys [B,2].
+
+    When `natural` (the model's native latent size) is given, noise is
+    drawn on a fixed natural-size grid and center-placed into the target
+    canvas, so the same seed renders the same subject across resolutions
+    (reference Txt2imgMode's fixed-size noise crop/insert,
+    gyre/pipeline/unified_pipeline.py:155-237). Border areas beyond the
+    natural grid draw from an independent stream.
+    """
+    h, w, c = shape
+    if not natural or (h == natural and w == natural):
+        noise = rngu.batched_stream_normal(keys, "init", 0, shape, dtype)
+        return noise * sigma_max
+    base = rngu.batched_stream_normal(keys, "init", 0,
+                                      (natural, natural, c), dtype)
+    canvas = rngu.batched_stream_normal(keys, "init_border", 0, shape,
+                                        dtype)
+    # center placement: crop base if target smaller, insert if larger
+    sy, sx = max(0, (natural - h) // 2), max(0, (natural - w) // 2)
+    ty, tx = max(0, (h - natural) // 2), max(0, (w - natural) // 2)
+    ch, cw = min(h, natural), min(w, natural)
+    crop = base[:, sy:sy + ch, sx:sx + cw]
+    canvas = canvas.at[:, ty:ty + ch, tx:tx + cw].set(crop)
+    return canvas * sigma_max
 
 
 def img2img_initial(init_latents, keys, sigma_start, dtype=jnp.float32):

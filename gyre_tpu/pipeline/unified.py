@@ -386,7 +386,9 @@ class UnifiedPipeline:
                 # chunked dispatch: continue from carried sigma-space state
                 x = x_resume
             elif spec.mode == "txt2img":
-                x = modes.txt2img_initial(keys, shape, sigma_start)
+                x = modes.txt2img_initial(
+                    keys, shape, sigma_start,
+                    natural=self.ms.config.sample_size)
             else:
                 x = modes.img2img_initial(init_latents, keys, sigma_start)
 

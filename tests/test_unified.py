@@ -130,6 +130,20 @@ def test_hires_fix(pipe):
     assert np.abs(img - plain).max() > 1e-4
 
 
+def test_resolution_consistent_seeds(pipe):
+    """The same seed must draw the same central noise field across
+    resolutions (reference Txt2imgMode's fixed-size crop semantics)."""
+    from gyre_tpu.pipeline import modes
+    from gyre_tpu.utils import rng as rngu
+
+    keys = rngu.keys_for_seeds(np.array([7]))
+    small = modes.txt2img_initial(keys, (8, 8, 4), 1.0, natural=8)
+    large = modes.txt2img_initial(keys, (12, 12, 4), 1.0, natural=8)
+    # the natural-size field sits at the center of the larger canvas
+    np.testing.assert_allclose(np.asarray(large[:, 2:10, 2:10]),
+                               np.asarray(small), atol=1e-6)
+
+
 def test_depth2img_five_channel():
     """5-channel depth2img unet: depth map as an unscaled extra channel."""
     import dataclasses as dc
