@@ -32,6 +32,8 @@ class UNetConfig:
     addition_embed_dim: int = 0      # pooled-text dim (1280 for SDXL)
     addition_time_dim: int = 0       # per-time_id sinusoid dim (256 for SDXL)
     addition_time_ids: int = 0       # number of time_ids (6 for SDXL base)
+    # class conditioning (SD-x4 upscaler's noise-level embedding)
+    class_embed: bool = False
 
     @property
     def levels(self) -> int:

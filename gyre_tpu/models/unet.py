@@ -168,6 +168,11 @@ def init(key, cfg: UNetConfig, dtype=jnp.float32) -> Params:
             "lin1": L.linear_init(next(keys), add_in, ted, dtype),
             "lin2": L.linear_init(next(keys), ted, ted, dtype),
         }
+    if cfg.class_embed:
+        p["class_embed"] = {
+            "lin1": L.linear_init(next(keys), ch0, ted, dtype),
+            "lin2": L.linear_init(next(keys), ted, ted, dtype),
+        }
 
     down = []
     c_prev = ch0
@@ -229,6 +234,7 @@ def init(key, cfg: UNetConfig, dtype=jnp.float32) -> Params:
 def apply(params: Params, cfg: UNetConfig, x: jax.Array, timesteps: jax.Array,
           context: jax.Array, *,
           added_cond: dict | None = None,
+          class_labels: jax.Array | None = None,
           down_residuals: list | None = None,
           mid_residual: jax.Array | None = None,
           adapter_states: list | None = None,
@@ -258,6 +264,13 @@ def apply(params: Params, cfg: UNetConfig, x: jax.Array, timesteps: jax.Array,
                        L.silu(L.linear(params["add_embed"]["lin1"],
                                        aug.astype(dtype))))
         temb = temb + aug
+    if cfg.class_embed and class_labels is not None:
+        cemb = L.timestep_embedding(class_labels,
+                                    cfg.block_out_channels[0])
+        cemb = L.linear(params["class_embed"]["lin2"],
+                        L.silu(L.linear(params["class_embed"]["lin1"],
+                                        cemb.astype(dtype))))
+        temb = temb + cemb
 
     h = L.conv2d_tiled(params["conv_in"], x, tiling_x=tiling[0], tiling_y=tiling[1])
     skips = [h]

@@ -66,6 +66,22 @@ def test_alpha_passthrough(tiny_pipe):
     assert out.shape == (1, 128, 128, 4)
 
 
+def test_diffusion_upscaler_x4():
+    """SD-x4-style latent upscaler: 7ch unet + noise-level class embed +
+    4x VAE decode."""
+    from gyre_tpu.pipeline.diffusion_upscaler import DiffusionUpscaler
+
+    up = DiffusionUpscaler.random(test=True)
+    img = np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32)
+    out = np.asarray(up(img, prompt="sharp photo", steps=2, seeds=[1]))
+    assert out.shape == (1, 128, 128, 3)
+    assert np.isfinite(out).all()
+    # prompt conditioning flows
+    out2 = np.asarray(up(img, prompt="a different condition", steps=2,
+                         seeds=[1]))
+    assert np.abs(out - out2).max() > 1e-6
+
+
 def test_upscale_request_route():
     from gyre_tpu.generated import generation_pb2 as pb
     from gyre_tpu.http.router import FakeGrpcContext
