@@ -29,6 +29,17 @@ def test_window_partition_roundtrip():
     np.testing.assert_allclose(np.asarray(back), np.asarray(x))
 
 
+def test_hat_shapes():
+    from gyre_tpu.models import hat
+
+    params = hat.init(jax.random.PRNGKey(0), embed_dim=16, depths=(2,),
+                      heads=4, window=8, overlap=2)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 16, 3))
+    out = hat.apply(params, x, heads=4, window=8, overlap=2)
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_swinir_in_upscaler_pipeline(tiny):
     from functools import partial
 
