@@ -307,7 +307,20 @@ class EngineManager:
             if spec.task == "upscaler":
                 path = spec.model if isinstance(spec.model, str) and \
                     not spec.model.startswith("preset/") else None
-                if spec.params.get("kind") == "swinir":
+                if spec.params.get("kind") == "hat":
+                    import jax as _jax
+
+                    from ..models import hat
+                    from ..pipeline.upscaler import UpscalerPipeline
+
+                    h_params = hat.init(_jax.random.PRNGKey(0),
+                                        dtype=jnp.float32)
+                    self._adapted[key] = UpscalerPipeline(
+                        h_params,
+                        apply_fn=lambda p, x, s: hat.apply(p, x, scale=s),
+                        scale=4, tile=int(spec.params.get("tile", 64)),
+                        overlap=8, compute_dtype=jnp.float32)
+                elif spec.params.get("kind") == "swinir":
                     import jax as _jax
 
                     from ..models import swinir
