@@ -111,6 +111,34 @@ def test_chain_generate(generation):
     assert answers[0].artifacts[0].type == pb.ARTIFACT_IMAGE
 
 
+def test_chain_generate_two_stage_pass(generation):
+    """txt2img stage PASSes its image into an img2img stage (the
+    reference's staged-graph routing, gyre/services/generate.py:1202-1267)."""
+    chain = pb.ChainRequest(request_id="chain-2")
+    s1 = chain.stage.add()
+    s1.id = "generate"
+    s1.request.CopyFrom(_request(steps=2, seed=31))
+    on = s1.on_status.add()
+    on.action.append(pb.STAGE_ACTION_PASS)
+    on.target = "refine"
+
+    s2 = chain.stage.add()
+    s2.id = "refine"
+    refine_req = _request(prompt="refined", steps=2, seed=32)
+    sp = refine_req.image.parameters[0]
+    sp.schedule.start = 0.5  # img2img strength on the passed image
+    s2.request.CopyFrom(refine_req)
+    on2 = s2.on_status.add()
+    on2.action.append(pb.STAGE_ACTION_RETURN)
+
+    answers = list(generation.ChainGenerate(chain, FakeGrpcContext()))
+    # only the refine stage returns
+    assert len(answers) == 1
+    assert answers[0].answer_id.endswith("refine")
+    img = I.decode_png(answers[0].artifacts[0].binary)
+    assert img.shape == (1, 64, 64, 3)
+
+
 def test_async_roundtrip(generation):
     import time
 
