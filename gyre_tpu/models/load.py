@@ -251,6 +251,40 @@ def load_controlnet_params(state: dict, cfg: UNetConfig, dtype=None) -> dict:
 import re  # noqa: E402
 
 
+def export_controlnet_state(params: dict, cfg: UNetConfig) -> dict:
+    """Inverse of load_controlnet_params (testing + export)."""
+    m = KeyMapper({}, None)
+    _put_conv(m, "conv_in", params["conv_in"])
+    _put_linear(m, "time_embedding.linear_1", params["time_embed"]["lin1"])
+    _put_linear(m, "time_embedding.linear_2", params["time_embed"]["lin2"])
+    ce = params["cond_embed"]
+    _put_conv(m, "controlnet_cond_embedding.conv_in", ce["conv_in"])
+    for i, blk in enumerate(ce["blocks"]):
+        _put_conv(m, f"controlnet_cond_embedding.blocks.{i * 2}",
+                  blk["conv1"])
+        _put_conv(m, f"controlnet_cond_embedding.blocks.{i * 2 + 1}",
+                  blk["conv2"])
+    _put_conv(m, "controlnet_cond_embedding.conv_out", ce["conv_out"])
+    for lvl, blk in enumerate(params["down"]):
+        for j, res in enumerate(blk["resnets"]):
+            _put_unet_resnet(m, f"down_blocks.{lvl}.resnets.{j}", res)
+        for j, attn in enumerate(blk["attns"]):
+            _put_unet_transformer(m, f"down_blocks.{lvl}.attentions.{j}",
+                                  attn, cfg.linear_projection)
+        if "downsample" in blk:
+            _put_conv(m, f"down_blocks.{lvl}.downsamplers.0.conv",
+                      blk["downsample"])
+    for i, zc in enumerate(params["zero_convs"]):
+        _put_conv(m, f"controlnet_down_blocks.{i}", zc)
+    _put_unet_resnet(m, "mid_block.resnets.0", params["mid"]["res1"])
+    _put_unet_resnet(m, "mid_block.resnets.1", params["mid"]["res2"])
+    if "attn" in params["mid"]:
+        _put_unet_transformer(m, "mid_block.attentions.0",
+                              params["mid"]["attn"], cfg.linear_projection)
+    _put_conv(m, "controlnet_mid_block", params["mid_zero"])
+    return m.out
+
+
 # ---------------------------------------------------------------------- VAE
 
 

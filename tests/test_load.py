@@ -76,6 +76,18 @@ def test_clip_state_roundtrip(rng_key):
     trees_equal(params, back)
 
 
+def test_controlnet_state_roundtrip(rng_key):
+    from gyre_tpu.models import controlnet
+
+    cfg = configs.UNET_TEST
+    params = controlnet.init(rng_key, cfg)
+    state = load.export_controlnet_state(params, cfg)
+    assert "controlnet_cond_embedding.conv_in.weight" in state
+    assert "controlnet_mid_block.weight" in state
+    back = load.load_controlnet_params(state, cfg)
+    trees_equal(params, back)
+
+
 def test_save_and_load_modelset(tmp_path, rng_key):
     ms = random_modelset(configs.SD_TEST, seed=3, dtype=jnp.float32)
     load.save_modelset(ms, str(tmp_path))
