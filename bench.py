@@ -18,6 +18,17 @@ import time
 A100_BASELINE_IMG_PER_SEC = 1.0
 
 
+def _peak_hbm_gb():
+    try:
+        from gyre_tpu.utils.monitor import device_memory_stats
+
+        stats = device_memory_stats()
+        peak = max((s.get("peak_bytes_in_use") or 0) for s in stats)
+        return round(peak / 1e9, 2)
+    except Exception:  # noqa: BLE001
+        return 0.0
+
+
 def main():
     import jax
 
@@ -71,6 +82,7 @@ def main():
         "p50_latency_s": round(p50, 4),
         "batch1_latency_s": round(min(latencies), 4),
         "compile_s": round(compile_s, 2),
+        "peak_hbm_gb": _peak_hbm_gb(),
         "device": str(jax.devices()[0]),
     }))
 

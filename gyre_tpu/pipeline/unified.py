@@ -215,8 +215,22 @@ class UnifiedPipeline:
             self._fn_cache[key] = run
         return self._fn_cache[key](self.ms.vae_params, images, keys)
 
+    # latent size above which the VAE decodes in overlapping tiles (the
+    # reference's VAE tiling/slicing vram machinery,
+    # gyre/pipeline/pipeline_wrapper.py:181-186; here it bounds HBM for
+    # 1536-2048px outputs). 128 latents = 1024px.
+    VAE_TILE_THRESHOLD = 160
+    VAE_TILE = 96
+    VAE_TILE_OVERLAP = 16
+
     def vae_decode(self, latents: jnp.ndarray) -> jnp.ndarray:
         """scaled latents -> images [B,H,W,3] in [0,1]."""
+        b, lh, lw, _ = latents.shape
+        if max(lh, lw) > self.VAE_TILE_THRESHOLD:
+            return self._vae_decode_tiled(latents)
+        return self._vae_decode_whole(latents)
+
+    def _vae_decode_whole(self, latents: jnp.ndarray) -> jnp.ndarray:
         key = ("vae_decode", latents.shape)
         if key not in self._fn_cache:
             cfg = self.ms.config.vae
@@ -229,6 +243,32 @@ class UnifiedPipeline:
 
             self._fn_cache[key] = run
         return self._fn_cache[key](self.ms.vae_params, latents)
+
+    def _vae_decode_tiled(self, latents: jnp.ndarray) -> jnp.ndarray:
+        """Overlapping-tile decode with feathered blending: fixed tile
+        shape -> one compiled program for any output size."""
+        t, ov = self.VAE_TILE, self.VAE_TILE_OVERLAP
+        b, lh, lw, c = latents.shape
+        factor = 8
+        step = t - 2 * ov
+        out = np.zeros((b, lh * factor, lw * factor, 3), np.float32)
+        weight = np.zeros((1, lh * factor, lw * factor, 1), np.float32)
+        ramp = np.minimum(np.arange(t * factor) + 1,
+                          np.arange(t * factor)[::-1] + 1)
+        ramp = np.minimum(ramp / (ov * factor), 1.0).astype(np.float32)
+        feather = (ramp[:, None] * ramp[None, :])[None, :, :, None]
+        ys = sorted({min(y, lh - t) for y in range(0, max(lh - ov, 1), step)})
+        xs = sorted({min(x, lw - t) for x in range(0, max(lw - ov, 1), step)})
+        for y in ys:
+            for x in xs:
+                tile = jax.lax.dynamic_slice(latents, (0, y, x, 0),
+                                             (b, t, t, c))
+                dec = np.asarray(self._vae_decode_whole(tile), np.float32)
+                oy, ox = y * factor, x * factor
+                out[:, oy:oy + t * factor, ox:ox + t * factor] += \
+                    dec * feather
+                weight[:, oy:oy + t * factor, ox:ox + t * factor] += feather
+        return jnp.asarray(out / np.maximum(weight, 1e-6))
 
     # ---------------------------------------------------------------- core
 
@@ -438,6 +478,7 @@ class UnifiedPipeline:
                  clip_cutouts: int = 4,
                  noise_type: str = "normal",
                  tome_ratio: float = 0.0,
+                 cfg_sequential: bool = False,
                  progress_callback=None,
                  stop_event=None,
                  chunk_steps: int = 0,
@@ -682,7 +723,8 @@ class UnifiedPipeline:
             clip_guidance=float(clip_guidance_scale),
             clip_cutouts=int(clip_cutouts),
             noise_type=noise_type,
-            tome_ratio=float(tome_ratio))
+            tome_ratio=float(tome_ratio),
+            cfg_parallel=not cfg_sequential)
 
         clip_vision_params = None
         clip_target = None

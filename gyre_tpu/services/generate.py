@@ -66,6 +66,8 @@ class ExtractedParams:
     hires_fix: bool | None = None
     hires_oos_fraction: float = 0.25
     clip_guidance_scale: float = 0.0
+    cfg_sequential: bool = False
+    tome_ratio: float = 0.0
     tiling: bool | str = False
     clip_layer: int = 0
     echo_artifacts: list = field(default_factory=list)
@@ -351,6 +353,8 @@ class GenerationServiceServicer:
             p.hires_fix = bool(opts["hires_fix"])
         if p.clip_guidance_scale == 0 and "clip_guidance_scale" in opts:
             p.clip_guidance_scale = float(opts["clip_guidance_scale"])
+        p.cfg_sequential = bool(opts.get("cfg_sequential", False))
+        p.tome_ratio = float(opts.get("tome_ratio", 0.0))
 
         # upscaler engines: transform the init image, no diffusion
         if p.engine_id:
@@ -436,6 +440,8 @@ class GenerationServiceServicer:
                     hires_oos_fraction=p.hires_oos_fraction,
                     clip_guidance_scale=p.clip_guidance_scale,
                     noise_type=p.noise_type,
+                    cfg_sequential=p.cfg_sequential,
+                    tome_ratio=p.tome_ratio,
                     stop_event=stop_event,
                     chunk_steps=10 if stop_event is not None else 0,
                 )
