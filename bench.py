@@ -32,7 +32,8 @@ def _peak_hbm_gb():
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/gyre_tpu_jax_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/gyre_tpu_jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp

@@ -16,7 +16,8 @@ import pytest  # noqa: E402
 # the environment's sitecustomize force-registers the TPU platform and
 # overrides JAX_PLATFORMS from the env; the config update below wins.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/gyre_tpu_jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  "/tmp/gyre_tpu_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
