@@ -16,9 +16,9 @@ import pytest  # noqa: E402
 # the environment's sitecustomize force-registers the TPU platform and
 # overrides JAX_PLATFORMS from the env; the config update below wins.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir",
-                  "/tmp/gyre_tpu_jax_cache_cpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: no persistent compilation cache here — this jaxlib's CPU
+# executable (de)serialization is unreliable across host profiles
+# (SIGSEGV on read, SIGABRT on write); the TPU bench keeps its own cache.
 
 
 @pytest.fixture(scope="session")
