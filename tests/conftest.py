@@ -21,6 +21,16 @@ jax.config.update("jax_platforms", "cpu")
 # (SIGSEGV on read, SIGABRT on write); the TPU bench keeps its own cache.
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """Release compiled executables between test modules. A full-suite run
+    accumulates ~1000 jitted programs; this jaxlib's CPU backend segfaults
+    inside LLVM once that many executables are live in one process
+    (resource exhaustion), so we drop them at module boundaries."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def rng_key():
     return jax.random.PRNGKey(0)
