@@ -175,6 +175,24 @@ class EngineManager:
         else:
             ms = random_modelset(cfg, seed=seed, dtype=self.compute_dtype,
                                  engine_id=spec.id)
+
+        # '@engine-id' submodel references: share another engine's parts
+        # (reference @model_id references with memoization,
+        # gyre/manager.py:1602-1648) — shared trees also share HBM.
+        if isinstance(model, dict):
+            for part in ("vae", "text_encoder", "unet", "tokenizer"):
+                ref = model.get(part)
+                if not (isinstance(ref, str) and ref.startswith("@")):
+                    continue
+                src = self.modelset(ref[1:])
+                if part == "vae":
+                    ms.vae_params = src.vae_params
+                elif part == "unet":
+                    ms.unet_params = src.unet_params
+                elif part == "text_encoder":
+                    ms.text_params = src.text_params
+                elif part == "tokenizer":
+                    ms.tokenizer = src.tokenizer
         if self.mesh is not None:
             from ..parallel import mesh as pmesh
 

@@ -44,6 +44,31 @@ def test_sigmoid_weights_monotonic():
     assert abs(vals[1] - 0.5) < 1e-6
 
 
+def test_submodel_references_share_params():
+    """'@engine' submodel refs reuse (not copy) another engine's parts."""
+    m = EngineManager(
+        [{"id": "base", "model": {"preset": "test", "seed": 0}},
+         {"id": "variant", "default": True,
+          "model": {"preset": "test", "seed": 5, "vae": "@base",
+                    "text_encoder": "@base"}}],
+        compute_dtype=jnp.float32)
+    base = m.modelset("base")
+    var = m.modelset("variant")
+    # vae/text shared by identity; unet independent
+    leaf_a = base.vae_params["encoder"]["conv_in"]["w"]
+    leaf_b = var.vae_params["encoder"]["conv_in"]["w"]
+    assert leaf_a is leaf_b
+    assert var.text_params[0]["token_embedding"] is \
+        base.text_params[0]["token_embedding"]
+    assert not np.allclose(
+        np.asarray(var.unet_params["conv_in"]["w"]),
+        np.asarray(base.unet_params["conv_in"]["w"]))
+    # variant generates fine
+    img = m.pipeline("variant")(prompt="x", height=64, width=64, steps=2,
+                                sampler="k_euler", seeds=[1])
+    assert np.isfinite(np.asarray(img)).all()
+
+
 def test_mixed_engine_in_manager():
     m = EngineManager(
         [{"id": "m1", "model": {"preset": "test", "seed": 0}},
