@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import layers as L
 
@@ -54,6 +55,67 @@ def init(key, channels=FULL_CHANNELS, cond_channels: int = 3,
         p["levels"].append(level)
         c_prev = c
     return p
+
+
+def load_params(state: dict, dtype=None) -> Params:
+    """TencentARC full-adapter checkpoint -> our tree.
+
+    Expected naming (t2iadapter_* releases): `conv_in.weight/bias`,
+    `body.{k}.block1.weight`, `body.{k}.block2.weight`, and
+    `body.{k}.in_conv.weight` on channel-changing blocks, where k flattens
+    (level, block) with 2 blocks per level."""
+    from .load import _t_conv
+
+    def conv(prefix):
+        w = np.asarray(state[f"{prefix}.weight"])
+        p = {"w": jnp.asarray(_t_conv(w), dtype) if dtype
+             else jnp.asarray(_t_conv(w))}
+        bk = f"{prefix}.bias"
+        if bk in state:
+            p["b"] = jnp.asarray(np.asarray(state[bk]))
+        return p
+
+    n_body = 0
+    while f"body.{n_body}.block1.weight" in state:
+        n_body += 1
+    n_res = 2
+    n_levels = n_body // n_res
+    p: Params = {"conv_in": conv("conv_in"), "levels": [], "downscale": 8}
+    for lvl in range(n_levels):
+        level = {"blocks": [], "proj": None}
+        for j in range(n_res):
+            k = lvl * n_res + j
+            if j == 0 and f"body.{k}.in_conv.weight" in state:
+                level["proj"] = conv(f"body.{k}.in_conv")
+            level["blocks"].append({
+                "conv1": conv(f"body.{k}.block1"),
+                "conv2": conv(f"body.{k}.block2"),
+            })
+        p["levels"].append(level)
+    return p
+
+
+def export_state(params: Params) -> dict:
+    """Inverse of load_params (testing/export)."""
+    from .load import _inv_conv
+
+    out = {}
+
+    def put(prefix, p):
+        out[f"{prefix}.weight"] = _inv_conv(np.asarray(p["w"]))
+        if "b" in p:
+            out[f"{prefix}.bias"] = np.asarray(p["b"])
+
+    put("conv_in", params["conv_in"])
+    n_res = len(params["levels"][0]["blocks"])
+    for lvl, level in enumerate(params["levels"]):
+        for j, blk in enumerate(level["blocks"]):
+            k = lvl * n_res + j
+            if j == 0 and level["proj"] is not None:
+                put(f"body.{k}.in_conv", level["proj"])
+            put(f"body.{k}.block1", blk["conv1"])
+            put(f"body.{k}.block2", blk["conv2"])
+    return out
 
 
 # ------------------------------------------------------------ style adapter

@@ -90,6 +90,18 @@ def test_style_adapter_hint(pipe, rng_key):
     assert np.abs(out - base).max() > 1e-5
 
 
+def test_t2i_adapter_ckpt_roundtrip(rng_key):
+    params = t2i_adapter.init(rng_key, channels=(32, 64, 128, 128))
+    state = t2i_adapter.export_state(params)
+    assert "conv_in.weight" in state and "body.0.block1.weight" in state
+    back = t2i_adapter.load_params(state)
+    cond = jnp.zeros((1, 64, 64, 3))
+    a = t2i_adapter.apply(params, cond)
+    b = t2i_adapter.apply(back, cond)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
 def test_coadapter_fuse():
     from gyre_tpu.models.t2i_adapter import coadapter_fuse
 

@@ -177,6 +177,27 @@ def test_grpc_gateway_list_engines(base_url):
     assert status == 200 and doc["engine"][0]["id"] == "test-engine"
 
 
+def test_grpc_web_text_mode(base_url):
+    """application/grpc-web-text: base64 framing both directions."""
+    req = pb.Request(engine_id="test-engine")
+    req.prompt.add().text = "text mode"
+    req.image.height = 64
+    req.image.width = 64
+    req.image.steps = 2
+    req.image.seed.append(4)
+    payload = base64.b64encode(
+        grpc_web.wrap_message(req.SerializeToString()))
+    status, headers, body = _post(
+        base_url + "/gooseai.GenerationService/Generate", payload,
+        {"Content-Type": "application/grpc-web-text+proto"})
+    assert status == 200
+    decoded = base64.b64decode(body)
+    frames = list(grpc_web.unwrap_message_stream(decoded))
+    data = [d for f, d in frames if not f & grpc_web.TRAILER_FLAG]
+    assert data and pb.Answer.FromString(
+        data[0]).artifacts[0].type == pb.ARTIFACT_IMAGE
+
+
 def test_reverse_proxy():
     """Configured /p/<name>/ routes forward to the upstream."""
     import threading
