@@ -104,9 +104,13 @@ class EngineManager:
         self._modelsets: dict[str, ModelSet] = {}
         self._pipelines: dict[str, UnifiedPipeline] = {}
         self._adapted: dict = {}
-        # one dispatcher lock per mesh: gRPC threads never touch the TPU
-        # concurrently (reference used a blocking device queue instead)
-        self._dispatch_lock = threading.RLock()
+        # guards lazy model/pipeline construction only. Requests are NOT
+        # serialized here: the CoalescingDispatcher's single thread is the
+        # only serialization point for device work, so concurrent gRPC
+        # requests reach its gather window and merge into shared batches
+        # (the reference instead blocks whole requests on a device queue,
+        # gyre/manager.py:2081-2139).
+        self._load_lock = threading.RLock()
         self._loaded = False
         from .scheduler import CoalescingDispatcher
 
@@ -219,33 +223,39 @@ class EngineManager:
 
     def modelset(self, engine_id: str) -> ModelSet:
         if engine_id not in self._modelsets:
-            spec = self.spec(engine_id)
-            if not spec.enabled:
-                raise EngineNotFoundError(engine_id)
-            try:
-                self._modelsets[engine_id] = self._build_modelset(spec)
-            except Exception as e:  # noqa: BLE001
-                # engine `fallback:` spec (reference gyre/manager.py:
-                # 1662-1668): failed loads fall back to another engine
-                fb = spec.params.get("fallback")
-                if not fb:
-                    raise
-                logger.warning("engine %s failed to load (%s); falling "
-                               "back to %s", engine_id, e, fb)
-                self._modelsets[engine_id] = self.modelset(fb)
+            with self._load_lock:
+                if engine_id in self._modelsets:
+                    return self._modelsets[engine_id]
+                spec = self.spec(engine_id)
+                if not spec.enabled:
+                    raise EngineNotFoundError(engine_id)
+                try:
+                    self._modelsets[engine_id] = self._build_modelset(spec)
+                except Exception as e:  # noqa: BLE001
+                    # engine `fallback:` spec (reference gyre/manager.py:
+                    # 1662-1668): failed loads fall back to another engine
+                    fb = spec.params.get("fallback")
+                    if not fb:
+                        raise
+                    logger.warning("engine %s failed to load (%s); falling "
+                                   "back to %s", engine_id, e, fb)
+                    self._modelsets[engine_id] = self.modelset(fb)
         return self._modelsets[engine_id]
 
     def pipeline(self, engine_id: str) -> UnifiedPipeline:
         if engine_id not in self._pipelines:
-            spec = self.spec(engine_id)
-            graft_ms = None
-            graft_id = spec.params.get("graft") or \
-                (spec.options or {}).get("graft")
-            if graft_id:
-                graft_ms = self.modelset(graft_id)
-            self._pipelines[engine_id] = UnifiedPipeline(
-                self.modelset(engine_id), compute_dtype=self.compute_dtype,
-                graft_ms=graft_ms)
+            with self._load_lock:
+                if engine_id in self._pipelines:
+                    return self._pipelines[engine_id]
+                spec = self.spec(engine_id)
+                graft_ms = None
+                graft_id = spec.params.get("graft") or \
+                    (spec.options or {}).get("graft")
+                if graft_id:
+                    graft_ms = self.modelset(graft_id)
+                self._pipelines[engine_id] = UnifiedPipeline(
+                    self.modelset(engine_id),
+                    compute_dtype=self.compute_dtype, graft_ms=graft_ms)
         return self._pipelines[engine_id]
 
     def adapted_pipeline(self, engine_id: str, loras=None, tis=None):
@@ -264,6 +274,13 @@ class EngineManager:
         cached = self._adapted.get(key)
         if cached is not None:
             return cached
+        with self._load_lock:
+            cached = self._adapted.get(key)
+            if cached is not None:
+                return cached
+            return self._build_adapted(key, base, engine_id, loras, tis)
+
+    def _build_adapted(self, key, base, engine_id, loras, tis):
 
         from ..models.modelset import ModelSet
         from ..pipeline import lora as lora_mod
@@ -301,13 +318,13 @@ class EngineManager:
                     task: str = "generate", loras=None, tis=None):
         """Borrow an engine for one request (reference gyre/manager.py:2081).
 
-        On TPU this is a dispatch-serialization scope, not a device claim:
-        weights are already resident on the mesh."""
+        On TPU this is NOT a device claim and NOT a serialization scope:
+        weights are already resident on the mesh, and device work is
+        serialized (and cross-request batched) by the dispatcher thread.
+        Concurrent callers each get their pipeline immediately."""
         if not engine_id:
             engine_id = self.default_engine_id()
-        pipe = self.adapted_pipeline(engine_id, loras, tis)
-        with self._dispatch_lock:
-            yield pipe
+        yield self.adapted_pipeline(engine_id, loras, tis)
 
     def task_pipeline(self, task: str, engine_id: str | None = None):
         """Non-generate task engines (upscalers now; hinters as they land).
@@ -321,6 +338,12 @@ class EngineManager:
             return None
         spec = candidates[0]
         key = ("task", spec.id)
+        if key not in self._adapted:
+            with self._load_lock:
+                return self._build_task_pipeline(spec, key)
+        return self._adapted[key]
+
+    def _build_task_pipeline(self, spec, key):
         if key not in self._adapted:
             if spec.task == "upscaler":
                 path = spec.model if isinstance(spec.model, str) and \

@@ -7,13 +7,18 @@ whose throughput grows with batch, so concurrent compatible requests are
 merged into ONE batch:
 
   * gRPC threads submit jobs and block on futures; a single dispatcher
-    thread owns all device work (no thread ever races the TPU).
+    thread owns all device work (no thread ever races the TPU). EVERY
+    generation request — coalescible or not — flows through here; there
+    is no outer lock anywhere in the serving path.
   * Jobs coalesce when their compiled-program signature matches (size,
-    steps, sampler, mode txt2img, engine, adapters) — prompts, seeds and
-    cfg scales merge per-sample (contexts are per-row tensors and guidance
-    is a [B] vector in the compiled step).
+    steps, sampler, schedule knobs, mode txt2img, engine) — prompts,
+    seeds and cfg scales merge per-sample (contexts are per-row tensors
+    and guidance is a [B] vector in the compiled step).
   * A short gather window (default 10 ms) after the first job picks up
     burst traffic without hurting p50.
+  * Merged batches keep chunked dispatch: cancellation applies when ALL
+    participating clients cancel (a shared batch can't die for one
+    client), and each job's future still resolves to its own rows.
 """
 
 from __future__ import annotations
@@ -28,6 +33,18 @@ from dataclasses import dataclass, field
 import numpy as np
 
 logger = logging.getLogger(__name__)
+
+
+class CombinedEvent:
+    """is_set() only when every underlying client cancelled. Jobs without
+    a stop_event never cancel, so any such participant pins the batch."""
+
+    def __init__(self, events):
+        self.events = list(events)
+
+    def is_set(self) -> bool:
+        return bool(self.events) and all(
+            e is not None and e.is_set() for e in self.events)
 
 
 @dataclass
@@ -46,7 +63,11 @@ class Job:
             return None  # solo
         return (id(self.pipe), kw.get("height"), kw.get("width"),
                 kw.get("steps"), kw.get("sampler"), kw.get("eta"),
-                kw.get("churn"), kw.get("karras_rho"), kw.get("tiling"),
+                kw.get("churn"), kw.get("churn_tmin"),
+                kw.get("churn_tmax"), kw.get("sigma_min"),
+                kw.get("sigma_max"), kw.get("karras_rho"),
+                kw.get("noise_type"), kw.get("clip_layer"),
+                kw.get("tiling"),
                 bool(np.all(np.asarray(kw.get("guidance_scale", 7.5)) > 1)))
 
 
@@ -58,6 +79,9 @@ class CoalescingDispatcher:
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._stop = threading.Event()
         self._started = False
+        # observability: batch sizes actually dispatched (requests, rows)
+        self.dispatched: list[tuple[int, int]] = []
+        self.coalesced_requests = 0
 
     def start(self):
         if not self._started:
@@ -118,7 +142,10 @@ class CoalescingDispatcher:
         if len(live) == 1:
             job = live[0]
             try:
-                job.future.set_result(job.pipe(**job.kwargs))
+                result = job.pipe(**job.kwargs)
+                self.dispatched.append(
+                    (1, len(job.kwargs.get("seeds") or [1])))
+                job.future.set_result(result)
             except Exception as e:  # noqa: BLE001
                 job.future.set_exception(e)
             return
@@ -140,16 +167,26 @@ class CoalescingDispatcher:
             gs.extend(list(np.broadcast_to(g, (len(s),))))
         merged.update(prompt=prompts_m, negative_prompt=negs, seeds=seeds,
                       guidance_scale=gs)
+        # shared batches cancel only when every client cancelled
+        if any("stop_event" in j.kwargs for j in live):
+            merged["stop_event"] = CombinedEvent(
+                [j.kwargs.get("stop_event") for j in live])
         logger.info("coalesced %d requests into batch %d", len(live),
                     len(seeds))
         try:
             images = pipe(**merged)
+            self.dispatched.append((len(live), len(seeds)))
+            self.coalesced_requests += len(live)
+            if images is None:  # all clients cancelled mid-batch
+                for j in live:
+                    j.future.set_result(None)
+                return
             images = np.asarray(images)
             off = 0
             for j, n in zip(live, counts):
                 j.future.set_result(images[off:off + n])
                 off += n
-        except Exception as e:  # noqa: BLE001
+        except Exception:  # noqa: BLE001
             logger.exception("coalesced batch failed; falling back to solo")
             for j in live:
                 try:

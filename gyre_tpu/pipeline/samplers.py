@@ -6,13 +6,27 @@ vendored k-schedulers, and k-diffusion sampling functions (reference
 gyre/pipeline/common_scheduler.py, kschedulers/, samplers.py:24-67) — with
 one functional design: a sampler is
 
-    sample(denoise, x, sigmas, noise_fn, params) -> x0-space result
+    sample(denoise, x, sigmas, noise_fn, params,
+           start=0, steps=None, carry=None, return_carry=False)
 
 where `denoise(x, sigma_vec) -> x0_pred` is the CFG-wrapped model,
-`sigmas` is a static descending ramp (last entry 0), and `noise_fn(i, tag)`
-yields batch-independent per-sample noise. Every sampler body is a
-`lax.scan` (or `lax.while_loop` for dpm_adaptive), so the whole denoise loop
-jits into one XLA program.
+`sigmas` is ALWAYS the full descending request ramp (last entry 0), and
+`noise_fn(i, tag)` yields batch-independent per-sample noise keyed by the
+GLOBAL step index.
+
+Chunked dispatch (progress callbacks + mid-request cancellation, replacing
+the reference's tqdm-driven abort, gyre/pipeline/pipeline_wrapper.py:22-79)
+runs a sampler in segments: `start` is the global step offset (a traced
+scalar, so every middle segment shares one compiled program), `steps` the
+segment length (static scan length), and `carry` the sampler's cross-step
+state (multistep history for DPM++ 2M/3M, the LMS derivative ring buffer).
+Because every step sees the global ramp and global index, a chunked run is
+bit-identical to the single-scan run for EVERY sampler — including the
+multistep ones the reference can't interrupt cleanly.
+
+SamplerParams fields (eta / churn / churn_tmin / churn_tmax) may be python
+floats OR traced jnp scalars: they only enter arithmetic, never control
+flow, so sweeping eta or churn never recompiles the denoise program.
 
 The algorithms are the published ones (Song et al. DDIM; Ho et al. DDPM;
 Karras et al. 2022 Algorithm 2 for euler/heun/dpm-2 + churn; Lu et al.
@@ -23,7 +37,6 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -33,10 +46,12 @@ from jax import lax
 
 @dataclass(frozen=True)
 class SamplerParams:
-    eta: float = 1.0            # ancestral/DDIM eta
-    churn: float = 0.0          # Karras s_churn
-    churn_tmin: float = 0.0
-    churn_tmax: float = float("inf")
+    """eta/churn knobs. Fields may be traced scalars (no recompiles)."""
+
+    eta: object = 1.0           # ancestral/DDIM eta
+    churn: object = 0.0         # Karras s_churn
+    churn_tmin: object = 0.0
+    churn_tmax: object = 0.0    # <= 0 means unbounded (inf)
     order: int = 2              # dpm_fast / multistep order
 
 
@@ -63,19 +78,33 @@ def _expm1(x):
     return jnp.expm1(x)
 
 
-# Each sampler: (denoise, x, sigmas[j], noise_fn, p) scanning j=0..n-1.
-# sigmas: jnp [n+1], descending, sigmas[-1] == 0.
-
-
 def _gamma(sigma, n_steps, p: SamplerParams):
-    in_range = (sigma >= p.churn_tmin) & (sigma <= p.churn_tmax)
+    """Karras churn gamma. n_steps is the FULL ramp's step count, so churn
+    strength is independent of chunked-dispatch segment boundaries."""
+    tmin = jnp.asarray(p.churn_tmin, jnp.float32)
+    tmax_raw = jnp.asarray(p.churn_tmax, jnp.float32)
+    tmax = jnp.where(tmax_raw > 0, tmax_raw, jnp.inf)
+    in_range = (sigma >= tmin) & (sigma <= tmax)
     g = jnp.where(in_range,
-                  jnp.minimum(p.churn / n_steps, math.sqrt(2.0) - 1.0), 0.0)
+                  jnp.minimum(jnp.asarray(p.churn, jnp.float32) / n_steps,
+                              math.sqrt(2.0) - 1.0), 0.0)
     return g
 
 
-def sample_euler(denoise, x, sigmas, noise_fn, p: SamplerParams):
+def _segment(sigmas, start, steps):
+    """(n_total, scan index array) for a sampler segment."""
     n = sigmas.shape[0] - 1
+    steps = n if steps is None else steps
+    return n, jnp.arange(steps) + start
+
+
+# Each sampler: body scans the GLOBAL step indices start..start+steps-1.
+# sigmas: jnp [n+1], descending, sigmas[-1] == 0.
+
+
+def sample_euler(denoise, x, sigmas, noise_fn, p: SamplerParams,
+                 start=0, steps=None, carry=None, return_carry=False):
+    n, idx = _segment(sigmas, start, steps)
 
     def body(x, i):
         sigma, sigma_next = sigmas[i], sigmas[i + 1]
@@ -90,12 +119,14 @@ def sample_euler(denoise, x, sigmas, noise_fn, p: SamplerParams):
         x = x + d * (sigma_next - sigma_hat)
         return x, None
 
-    x, _ = lax.scan(body, x, jnp.arange(n))
-    return x
+    x, _ = lax.scan(body, x, idx)
+    return (x, ()) if return_carry else x
 
 
-def sample_euler_ancestral(denoise, x, sigmas, noise_fn, p: SamplerParams):
-    n = sigmas.shape[0] - 1
+def sample_euler_ancestral(denoise, x, sigmas, noise_fn, p: SamplerParams,
+                           start=0, steps=None, carry=None,
+                           return_carry=False):
+    n, idx = _segment(sigmas, start, steps)
 
     def body(x, i):
         sigma, sigma_next = sigmas[i], sigmas[i + 1]
@@ -106,12 +137,13 @@ def sample_euler_ancestral(denoise, x, sigmas, noise_fn, p: SamplerParams):
         x = x + noise_fn(i, "anc") * su
         return x, None
 
-    x, _ = lax.scan(body, x, jnp.arange(n))
-    return x
+    x, _ = lax.scan(body, x, idx)
+    return (x, ()) if return_carry else x
 
 
-def sample_heun(denoise, x, sigmas, noise_fn, p: SamplerParams):
-    n = sigmas.shape[0] - 1
+def sample_heun(denoise, x, sigmas, noise_fn, p: SamplerParams,
+                start=0, steps=None, carry=None, return_carry=False):
+    n, idx = _segment(sigmas, start, steps)
 
     def body(x, i):
         sigma, sigma_next = sigmas[i], sigmas[i + 1]
@@ -134,13 +166,14 @@ def sample_heun(denoise, x, sigmas, noise_fn, p: SamplerParams):
         x = lax.cond(sigma_next > 0, second_order, lambda _: x_euler, None)
         return x, None
 
-    x, _ = lax.scan(body, x, jnp.arange(n))
-    return x
+    x, _ = lax.scan(body, x, idx)
+    return (x, ()) if return_carry else x
 
 
-def sample_dpm_2(denoise, x, sigmas, noise_fn, p: SamplerParams):
+def sample_dpm_2(denoise, x, sigmas, noise_fn, p: SamplerParams,
+                 start=0, steps=None, carry=None, return_carry=False):
     """Karras DPM-2: midpoint method in sigma^(1/3) space."""
-    n = sigmas.shape[0] - 1
+    n, idx = _segment(sigmas, start, steps)
 
     def body(x, i):
         sigma, sigma_next = sigmas[i], sigmas[i + 1]
@@ -165,12 +198,14 @@ def sample_dpm_2(denoise, x, sigmas, noise_fn, p: SamplerParams):
                      lambda _: x + d * (sigma_next - sigma_hat), None)
         return x, None
 
-    x, _ = lax.scan(body, x, jnp.arange(n))
-    return x
+    x, _ = lax.scan(body, x, idx)
+    return (x, ()) if return_carry else x
 
 
-def sample_dpm_2_ancestral(denoise, x, sigmas, noise_fn, p: SamplerParams):
-    n = sigmas.shape[0] - 1
+def sample_dpm_2_ancestral(denoise, x, sigmas, noise_fn, p: SamplerParams,
+                           start=0, steps=None, carry=None,
+                           return_carry=False):
+    n, idx = _segment(sigmas, start, steps)
 
     def body(x, i):
         sigma, sigma_next = sigmas[i], sigmas[i + 1]
@@ -190,8 +225,8 @@ def sample_dpm_2_ancestral(denoise, x, sigmas, noise_fn, p: SamplerParams):
         x = x + noise_fn(i, "anc") * su
         return x, None
 
-    x, _ = lax.scan(body, x, jnp.arange(n))
-    return x
+    x, _ = lax.scan(body, x, idx)
+    return (x, ()) if return_carry else x
 
 
 def _lms_coefficients(sigmas: np.ndarray, order: int = 4) -> np.ndarray:
@@ -238,9 +273,10 @@ def _lms_coefficients_traced(sigmas, order: int = 4) -> jnp.ndarray:
     return jnp.stack(rows)
 
 
-def sample_lms(denoise, x, sigmas, noise_fn, p: SamplerParams, *,
+def sample_lms(denoise, x, sigmas, noise_fn, p: SamplerParams,
+               start=0, steps=None, carry=None, return_carry=False, *,
                order: int = 4, coeffs: jnp.ndarray | None = None):
-    n = sigmas.shape[0] - 1
+    n, idx = _segment(sigmas, start, steps)
     if coeffs is None:
         if isinstance(sigmas, jax.core.Tracer):
             coeffs = _lms_coefficients_traced(sigmas, order).astype(x.dtype)
@@ -248,8 +284,8 @@ def sample_lms(denoise, x, sigmas, noise_fn, p: SamplerParams, *,
             coeffs = jnp.asarray(
                 _lms_coefficients(np.asarray(sigmas), order), x.dtype)
 
-    def body(carry, i):
-        x, ds = carry  # ds: [order, ...] ring buffer of derivatives
+    def body(state, i):
+        x, ds = state  # ds: [order, ...] ring buffer of derivatives
         sigma = sigmas[i]
         x0 = denoise(x, sigma)
         d = _to_d(x, sigma, x0)
@@ -257,14 +293,17 @@ def sample_lms(denoise, x, sigmas, noise_fn, p: SamplerParams, *,
         inc = jnp.tensordot(coeffs[i], ds, axes=1)
         return (x + inc, ds), None
 
-    ds0 = jnp.zeros((order,) + x.shape, x.dtype)
-    (x, _), _ = lax.scan(body, (x, ds0), jnp.arange(n))
-    return x
+    ds0 = carry[0] if carry is not None else \
+        jnp.zeros((order,) + x.shape, x.dtype)
+    (x, ds), _ = lax.scan(body, (x, ds0), idx)
+    return (x, (ds,)) if return_carry else x
 
 
-def sample_dpmpp_2s_ancestral(denoise, x, sigmas, noise_fn, p: SamplerParams):
+def sample_dpmpp_2s_ancestral(denoise, x, sigmas, noise_fn, p: SamplerParams,
+                              start=0, steps=None, carry=None,
+                              return_carry=False):
     """DPM-Solver++(2S) with ancestral noise."""
-    n = sigmas.shape[0] - 1
+    n, idx = _segment(sigmas, start, steps)
     t_fn = lambda s: -jnp.log(jnp.maximum(s, 1e-10))
     s_fn = lambda t: jnp.exp(-t)
 
@@ -285,18 +324,21 @@ def sample_dpmpp_2s_ancestral(denoise, x, sigmas, noise_fn, p: SamplerParams):
         x = x + noise_fn(i, "anc") * su
         return x, None
 
-    x, _ = lax.scan(body, x, jnp.arange(n))
-    return x
+    x, _ = lax.scan(body, x, idx)
+    return (x, ()) if return_carry else x
 
 
-def sample_dpmpp_2m(denoise, x, sigmas, noise_fn, p: SamplerParams):
+def sample_dpmpp_2m(denoise, x, sigmas, noise_fn, p: SamplerParams,
+                    start=0, steps=None, carry=None, return_carry=False):
     """DPM-Solver++(2M): second-order multistep, the TPU workhorse sampler
-    (one model call per step)."""
-    n = sigmas.shape[0] - 1
+    (one model call per step). Cross-step state (the previous denoised
+    x0) is an explicit carry, so chunked dispatch — the default serving
+    path's progress/cancel mechanism — is bit-identical to one scan."""
+    n, idx = _segment(sigmas, start, steps)
     t_fn = lambda s: -jnp.log(jnp.maximum(s, 1e-10))
 
-    def body(carry, i):
-        x, x0_prev = carry
+    def body(state, i):
+        x, x0_prev = state
         sigma, sigma_next = sigmas[i], sigmas[i + 1]
         x0 = denoise(x, sigma)
         t, t_next = t_fn(sigma), t_fn(sigma_next)
@@ -319,13 +361,15 @@ def sample_dpmpp_2m(denoise, x, sigmas, noise_fn, p: SamplerParams):
                            x0)
         return (x_next, x0), None
 
-    (x, _), _ = lax.scan(body, (x, jnp.zeros_like(x)), jnp.arange(n))
-    return x
+    x0_prev = carry[0] if carry is not None else jnp.zeros_like(x)
+    (x, x0_prev), _ = lax.scan(body, (x, x0_prev), idx)
+    return (x, (x0_prev,)) if return_carry else x
 
 
-def sample_dpmpp_sde(denoise, x, sigmas, noise_fn, p: SamplerParams):
+def sample_dpmpp_sde(denoise, x, sigmas, noise_fn, p: SamplerParams,
+                     start=0, steps=None, carry=None, return_carry=False):
     """DPM-Solver++ (stochastic), r=1/2 two-stage."""
-    n = sigmas.shape[0] - 1
+    n, idx = _segment(sigmas, start, steps)
     t_fn = lambda s: -jnp.log(jnp.maximum(s, 1e-10))
     s_fn = lambda t: jnp.exp(-t)
     r = 0.5
@@ -355,17 +399,18 @@ def sample_dpmpp_sde(denoise, x, sigmas, noise_fn, p: SamplerParams):
         x = lax.cond(sigma_next > 0, solver, lambda _: x0, None)
         return x, None
 
-    x, _ = lax.scan(body, x, jnp.arange(n))
-    return x
+    x, _ = lax.scan(body, x, idx)
+    return (x, ()) if return_carry else x
 
 
-def sample_dpmpp_3m(denoise, x, sigmas, noise_fn, p: SamplerParams):
+def sample_dpmpp_3m(denoise, x, sigmas, noise_fn, p: SamplerParams,
+                    start=0, steps=None, carry=None, return_carry=False):
     """DPM-Solver++ third-order multistep (proto DPMSOLVERPP_3ORDER)."""
-    n = sigmas.shape[0] - 1
+    n, idx = _segment(sigmas, start, steps)
     t_fn = lambda s: -jnp.log(jnp.maximum(s, 1e-10))
 
-    def body(carry, i):
-        x, x0_1, x0_2, h_1, h_2 = carry  # previous denoised + step sizes
+    def body(state, i):
+        x, x0_1, x0_2, h_1, h_2 = state  # previous denoised + step sizes
         sigma, sigma_next = sigmas[i], sigmas[i + 1]
         x0 = denoise(x, sigma)
         t, t_next = t_fn(sigma), t_fn(sigma_next)
@@ -389,13 +434,18 @@ def sample_dpmpp_3m(denoise, x, sigmas, noise_fn, p: SamplerParams):
         x_next = jnp.where(sigma_next > 0, step(None), x0)
         return (x_next, x0, x0_1, h, h_1), None
 
-    init = (x, jnp.zeros_like(x), jnp.zeros_like(x), jnp.asarray(1.0),
-            jnp.asarray(1.0))
-    (x, *_), _ = lax.scan(body, init, jnp.arange(n))
-    return x
+    if carry is not None:
+        x0_1, x0_2, h_1, h_2 = carry
+    else:
+        x0_1, x0_2 = jnp.zeros_like(x), jnp.zeros_like(x)
+        h_1, h_2 = jnp.asarray(1.0), jnp.asarray(1.0)
+    (x, x0_1, x0_2, h_1, h_2), _ = lax.scan(
+        body, (x, x0_1, x0_2, h_1, h_2), idx)
+    return (x, (x0_1, x0_2, h_1, h_2)) if return_carry else x
 
 
-def sample_ddim(denoise, x, sigmas, noise_fn, p: SamplerParams):
+def sample_ddim(denoise, x, sigmas, noise_fn, p: SamplerParams,
+                start=0, steps=None, carry=None, return_carry=False):
     """DDIM expressed in sigma space.
 
     With x_t = x_sigma / sqrt(1+sigma^2), the DDIM update
@@ -404,7 +454,7 @@ def sample_ddim(denoise, x, sigmas, noise_fn, p: SamplerParams):
     (sigma_down, sigma_up) split — i.e. DDIM(eta) is euler-ancestral(eta)
     on the continuous schedule; eta=0 (the default) is the deterministic
     probability-flow step."""
-    n = sigmas.shape[0] - 1
+    n, idx = _segment(sigmas, start, steps)
 
     def body(x, i):
         sigma, sigma_next = sigmas[i], sigmas[i + 1]
@@ -414,15 +464,19 @@ def sample_ddim(denoise, x, sigmas, noise_fn, p: SamplerParams):
         x = x0 + sd * eps + noise_fn(i, "ddim") * su
         return x, None
 
-    x, _ = lax.scan(body, x, jnp.arange(n))
-    return x
+    x, _ = lax.scan(body, x, idx)
+    return (x, ()) if return_carry else x
 
 
-def sample_ddpm(denoise, x, sigmas, noise_fn, p: SamplerParams):
+def sample_ddpm(denoise, x, sigmas, noise_fn, p: SamplerParams,
+                start=0, steps=None, carry=None, return_carry=False):
     """DDPM ancestral sampling = euler-ancestral with eta=1 discretized on
     the training grid; expressed in sigma space."""
-    return sample_euler_ancestral(denoise, x, sigmas, noise_fn,
-                                  SamplerParams(eta=1.0, churn=p.churn))
+    return sample_euler_ancestral(
+        denoise, x, sigmas, noise_fn,
+        SamplerParams(eta=1.0, churn=p.churn, churn_tmin=p.churn_tmin,
+                      churn_tmax=p.churn_tmax),
+        start=start, steps=steps, carry=carry, return_carry=return_carry)
 
 
 def _dpm_fast_sigmas(sigma_min, sigma_max, n):
@@ -430,18 +484,23 @@ def _dpm_fast_sigmas(sigma_min, sigma_max, n):
     return np.append(np.exp(-t), 0.0)
 
 
-def sample_dpm_fast(denoise, x, sigmas, noise_fn, p: SamplerParams):
+def sample_dpm_fast(denoise, x, sigmas, noise_fn, p: SamplerParams,
+                    start=0, steps=None, carry=None, return_carry=False):
     """DPM-Solver fast: uniform-in-lambda steps, solved with 2M updates.
     The sigma ramp is rebuilt uniform in log-sigma."""
-    return sample_dpmpp_2m(denoise, x, sigmas, noise_fn, p)
+    return sample_dpmpp_2m(denoise, x, sigmas, noise_fn, p, start=start,
+                           steps=steps, carry=carry,
+                           return_carry=return_carry)
 
 
-def sample_dpm_adaptive(denoise, x, sigmas, noise_fn, p: SamplerParams, *,
-                        rtol: float = 0.05, atol: float = 0.0078,
+def sample_dpm_adaptive(denoise, x, sigmas, noise_fn, p: SamplerParams,
+                        start=0, steps=None, carry=None, return_carry=False,
+                        *, rtol: float = 0.05, atol: float = 0.0078,
                         max_steps: int = 128):
     """Adaptive DPM-Solver-12 with PI step-size control, as lax.while_loop
     (the reference's data-dependent python loop becomes compiled control
-    flow). Runs between sigmas[0] and the ramp's sigma_min."""
+    flow). Runs between sigmas[0] and the ramp's sigma_min. Not chunkable
+    (data-dependent step count); start/steps/carry are ignored."""
     sigma_max = sigmas[0]
     sigma_min = jnp.maximum(sigmas[-2], 1e-3)
     t_start = -jnp.log(sigma_max)
@@ -474,10 +533,11 @@ def sample_dpm_adaptive(denoise, x, sigmas, noise_fn, p: SamplerParams, *,
         return (x, t, h, step + 1, accept_count + accept.astype(jnp.int32))
 
     h0 = (t_end - t_start) / 16.0
-    x, t, h, steps, _ = lax.while_loop(
+    x, t, h, steps_done, _ = lax.while_loop(
         cond, body, (x, t_start, h0, jnp.asarray(0), jnp.asarray(0)))
     # final denoise to x0 at sigma_min
-    return denoise(x, jnp.exp(-t_end))
+    x = denoise(x, jnp.exp(-t_end))
+    return (x, ()) if return_carry else x
 
 
 # ------------------------------------------------------------------ registry
@@ -503,6 +563,10 @@ SAMPLERS = {
     "dpmsolverpp_sde": sample_dpmpp_sde,
     "dpmsolverpp_2m": sample_dpmpp_2m,
 }
+
+# every sampler except the adaptive one supports segmented (chunked)
+# dispatch with exact state carry
+CHUNKABLE_SAMPLERS = frozenset(SAMPLERS) - {"dpm_adaptive"}
 
 # proto enum value -> sampler key (generation_pb2.DiffusionSampler)
 PROTO_SAMPLERS = {
@@ -533,7 +597,24 @@ SAMPLER_PROPERTIES = {
 }
 
 
+def init_carry(name: str, x) -> tuple:
+    """Zero-initialized cross-step state for `name`, shaped like latents x
+    (host-side helper for chunked dispatch's first segment)."""
+    fn = SAMPLERS[name]
+    if fn in (sample_dpmpp_2m, sample_dpm_fast):
+        return (jnp.zeros_like(x),)
+    if fn is sample_dpmpp_3m:
+        return (jnp.zeros_like(x), jnp.zeros_like(x), jnp.asarray(1.0),
+                jnp.asarray(1.0))
+    if fn is sample_lms:
+        return (jnp.zeros((4,) + tuple(x.shape), x.dtype),)
+    return ()
+
+
 def sample(name: str, denoise, x, sigmas, noise_fn,
-           p: SamplerParams | None = None):
+           p: SamplerParams | None = None, *, start=0, steps=None,
+           carry=None, return_carry=False):
     p = p or SamplerParams()
-    return SAMPLERS[name](denoise, x, sigmas, noise_fn, p)
+    return SAMPLERS[name](denoise, x, sigmas, noise_fn, p, start=start,
+                          steps=steps, carry=carry,
+                          return_carry=return_carry)

