@@ -82,7 +82,8 @@ class EngineManager:
     """Loads engines, owns the mesh executor, hands out pipelines."""
 
     def __init__(self, engine_specs: list[dict] | list[EngineSpec],
-                 mesh=None, compute_dtype=jnp.bfloat16, batch_max: int = 4):
+                 mesh=None, compute_dtype=jnp.bfloat16, batch_max: int = 4,
+                 weight_resolver=None):
         entries = [s for s in engine_specs if isinstance(s, dict)]
         hintset_entries = [e for e in entries if "hintset_id" in e]
         self.specs: list[EngineSpec] = [
@@ -101,6 +102,8 @@ class EngineManager:
         self.mesh = mesh
         self.compute_dtype = compute_dtype
         self.batch_max = batch_max
+        if weight_resolver is not None:
+            self._weight_resolver = weight_resolver
         self._modelsets: dict[str, ModelSet] = {}
         self._pipelines: dict[str, UnifiedPipeline] = {}
         self._adapted: dict = {}
@@ -127,7 +130,7 @@ class EngineManager:
                 continue
             if spec.id in self._modelsets:
                 continue
-            self._modelsets[spec.id] = self._build_modelset(spec)
+            self.modelset(spec.id)  # includes engine fallback handling
             logger.info("engine %s loaded (%.1f MB params)", spec.id,
                         self._modelsets[spec.id].param_bytes() / 1e6)
         self._loaded = True

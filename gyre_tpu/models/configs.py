@@ -94,6 +94,7 @@ UNET_SDXL = UNetConfig(
 UNET_SDXL_REFINER = dataclasses.replace(
     UNET_SDXL,
     block_out_channels=(384, 768, 1536, 1536),
+    time_embed_dim=1536,
     attn_levels=(False, True, True, False),
     transformer_layers=(0, 4, 4, 0),
     num_heads=(6, 12, 24, 24),
@@ -191,3 +192,176 @@ PRESETS: dict[str, ModelSetConfig] = {
     "test": SD_TEST,
     "test-xl": SDXL_TEST,
 }
+
+
+# ------------------------------------------------ diffusers config interop
+# Real checkpoints carry per-submodule config.json files; the loader derives
+# architecture from THEM, using presets only as fallback (the reference gets
+# this via diffusers from_pretrained; gyre/manager.py:1145-1294).
+
+_SDXL_POOLED_DIM = 1280  # pooled text width across the SDXL family
+
+
+def unet_config_from_diffusers(d: dict,
+                               fallback: UNetConfig = UNET_SD15) -> UNetConfig:
+    boc = tuple(d.get("block_out_channels", fallback.block_out_channels))
+    n = len(boc)
+    down = d.get("down_block_types") or \
+        ["CrossAttnDownBlock2D"] * (n - 1) + ["DownBlock2D"]
+    attn_levels = tuple("CrossAttn" in t for t in down)
+    tl = d.get("transformer_layers_per_block", 1)
+    if isinstance(tl, int):
+        tl = [tl if a else 0 for a in attn_levels]
+    tl = tuple(int(x) for x in tl)
+    # diffusers quirk: legacy checkpoints store the head COUNT in
+    # attention_head_dim (SD1.x: 8, SD2.x: [5,10,20,20])
+    heads = d.get("num_attention_heads") or d.get("attention_head_dim", 8)
+    if isinstance(heads, int):
+        heads = [heads] * n
+    heads = tuple(int(h) for h in heads)
+    cross = d.get("cross_attention_dim", fallback.cross_attention_dim)
+    if isinstance(cross, (list, tuple)):
+        cross = max(cross)
+    add_embed = add_time = add_ids = 0
+    if d.get("addition_embed_type") == "text_time":
+        add_time = int(d.get("addition_time_embed_dim", 256))
+        proj_in = int(d.get("projection_class_embeddings_input_dim",
+                            _SDXL_POOLED_DIM))
+        # proj_in = pooled_dim + n_time_ids * time_dim; diffusers doesn't
+        # store the split, so recover it: SDXL-family pooled dim first,
+        # then the conventional id counts (6 base / 5 refiner)
+        if proj_in >= _SDXL_POOLED_DIM and \
+                (proj_in - _SDXL_POOLED_DIM) % max(add_time, 1) == 0:
+            add_embed = _SDXL_POOLED_DIM
+            add_ids = (proj_in - add_embed) // max(add_time, 1)
+        else:
+            for ids in (6, 5):
+                if proj_in - ids * add_time > 0:
+                    add_embed, add_ids = proj_in - ids * add_time, ids
+                    break
+    return UNetConfig(
+        in_channels=int(d.get("in_channels", fallback.in_channels)),
+        out_channels=int(d.get("out_channels", fallback.out_channels)),
+        block_out_channels=boc,
+        layers_per_block=int(d.get("layers_per_block",
+                                   fallback.layers_per_block)),
+        attn_levels=attn_levels,
+        transformer_layers=tl,
+        num_heads=heads,
+        cross_attention_dim=int(cross),
+        time_embed_dim=int(d.get("time_embedding_dim") or boc[0] * 4),
+        norm_groups=int(d.get("norm_num_groups", fallback.norm_groups)),
+        mid_attn="MidBlock2DCrossAttn" in str(
+            d.get("mid_block_type", "UNetMidBlock2DCrossAttn")),
+        mid_transformer_layers=max(tl) if any(tl) else 1,
+        linear_projection=bool(d.get("use_linear_projection", False)),
+        addition_embed_dim=add_embed,
+        addition_time_dim=add_time,
+        addition_time_ids=add_ids,
+        class_embed=d.get("num_class_embeds") is not None,
+    )
+
+
+def unet_config_to_diffusers(cfg: UNetConfig, sample_size: int = 64) -> dict:
+    down = ["CrossAttnDownBlock2D" if a else "DownBlock2D"
+            for a in cfg.attn_levels]
+    up = ["CrossAttnUpBlock2D" if a else "UpBlock2D"
+          for a in reversed(cfg.attn_levels)]
+    d = {
+        "_class_name": "UNet2DConditionModel",
+        "in_channels": cfg.in_channels,
+        "out_channels": cfg.out_channels,
+        "sample_size": sample_size,
+        "block_out_channels": list(cfg.block_out_channels),
+        "layers_per_block": cfg.layers_per_block,
+        "down_block_types": down,
+        "up_block_types": up,
+        "transformer_layers_per_block": list(cfg.transformer_layers),
+        "attention_head_dim": list(cfg.num_heads),
+        "cross_attention_dim": cfg.cross_attention_dim,
+        "norm_num_groups": cfg.norm_groups,
+        "mid_block_type": "UNetMidBlock2DCrossAttn" if cfg.mid_attn
+        else "UNetMidBlock2D",
+        "use_linear_projection": cfg.linear_projection,
+    }
+    if cfg.time_embed_dim != cfg.block_out_channels[0] * 4:
+        d["time_embedding_dim"] = cfg.time_embed_dim
+    if cfg.addition_embed_dim:
+        d["addition_embed_type"] = "text_time"
+        d["addition_time_embed_dim"] = cfg.addition_time_dim
+        d["projection_class_embeddings_input_dim"] = (
+            cfg.addition_embed_dim +
+            cfg.addition_time_ids * cfg.addition_time_dim)
+    if cfg.class_embed:
+        d["num_class_embeds"] = 1000
+    return d
+
+
+def vae_config_from_diffusers(d: dict,
+                              fallback: VAEConfig = VAE_SD) -> VAEConfig:
+    return VAEConfig(
+        in_channels=int(d.get("in_channels", fallback.in_channels)),
+        out_channels=int(d.get("out_channels", fallback.out_channels)),
+        latent_channels=int(d.get("latent_channels",
+                                  fallback.latent_channels)),
+        block_out_channels=tuple(d.get("block_out_channels",
+                                       fallback.block_out_channels)),
+        layers_per_block=int(d.get("layers_per_block",
+                                   fallback.layers_per_block)),
+        norm_groups=int(d.get("norm_num_groups", fallback.norm_groups)),
+        scaling_factor=float(d.get("scaling_factor",
+                                   fallback.scaling_factor)),
+    )
+
+
+def vae_config_to_diffusers(cfg: VAEConfig) -> dict:
+    return {
+        "_class_name": "AutoencoderKL",
+        "in_channels": cfg.in_channels,
+        "out_channels": cfg.out_channels,
+        "latent_channels": cfg.latent_channels,
+        "block_out_channels": list(cfg.block_out_channels),
+        "layers_per_block": cfg.layers_per_block,
+        "norm_num_groups": cfg.norm_groups,
+        "scaling_factor": cfg.scaling_factor,
+        "down_block_types": ["DownEncoderBlock2D"] *
+        len(cfg.block_out_channels),
+        "up_block_types": ["UpDecoderBlock2D"] * len(cfg.block_out_channels),
+    }
+
+
+def clip_config_from_diffusers(d: dict,
+                               fallback: CLIPTextConfig = CLIP_VIT_L
+                               ) -> CLIPTextConfig:
+    archs = d.get("architectures") or []
+    with_proj = any("WithProjection" in a for a in archs) or \
+        bool(d.get("projection_dim")) and "CLIPTextModel" not in archs
+    return CLIPTextConfig(
+        vocab_size=int(d.get("vocab_size", fallback.vocab_size)),
+        hidden_size=int(d.get("hidden_size", fallback.hidden_size)),
+        num_layers=int(d.get("num_hidden_layers", fallback.num_layers)),
+        num_heads=int(d.get("num_attention_heads", fallback.num_heads)),
+        intermediate_size=int(d.get("intermediate_size",
+                                    fallback.intermediate_size)),
+        max_position_embeddings=int(d.get("max_position_embeddings",
+                                          fallback.max_position_embeddings)),
+        activation=d.get("hidden_act", fallback.activation),
+        projection_dim=int(d.get("projection_dim", 0)) if with_proj else 0,
+        eos_token_id=int(d.get("eos_token_id", fallback.eos_token_id)),
+    )
+
+
+def clip_config_to_diffusers(cfg: CLIPTextConfig) -> dict:
+    return {
+        "architectures": ["CLIPTextModelWithProjection"
+                          if cfg.projection_dim else "CLIPTextModel"],
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "intermediate_size": cfg.intermediate_size,
+        "max_position_embeddings": cfg.max_position_embeddings,
+        "hidden_act": cfg.activation,
+        "projection_dim": cfg.projection_dim or cfg.hidden_size,
+        "eos_token_id": cfg.eos_token_id,
+    }

@@ -599,12 +599,55 @@ def _find_weights(dirpath: str, names=("diffusion_pytorch_model.safetensors",
     return None
 
 
+def _read_json(path: str) -> dict | None:
+    if os.path.exists(path):
+        with open(path) as fh:
+            return json.load(fh)
+    return None
+
+
+def derive_modelset_config(path: str,
+                           fallback: ModelSetConfig) -> ModelSetConfig:
+    """Derive the architecture from the checkpoint's own config.json files
+    (what diffusers from_pretrained does for the reference,
+    gyre/manager.py:1145-1294); the preset is only a fallback for
+    checkpoints without configs and for fields configs can't carry
+    (clip_layer)."""
+    import dataclasses
+
+    from . import configs as C
+
+    cfg = fallback
+    uc = _read_json(os.path.join(path, "unet", "config.json"))
+    if uc:
+        cfg = dataclasses.replace(
+            cfg, unet=C.unet_config_from_diffusers(uc, fallback.unet),
+            sample_size=int(uc.get("sample_size", fallback.sample_size)))
+    vc = _read_json(os.path.join(path, "vae", "config.json"))
+    if vc:
+        cfg = dataclasses.replace(
+            cfg, vae=C.vae_config_from_diffusers(vc, fallback.vae))
+    tes = []
+    for i in range(4):
+        sub = "text_encoder" if i == 0 else f"text_encoder_{i + 1}"
+        tc = _read_json(os.path.join(path, sub, "config.json"))
+        if tc is None:
+            break
+        fb = fallback.text_encoders[min(i, len(fallback.text_encoders) - 1)]
+        tes.append(C.clip_config_from_diffusers(tc, fb))
+    if tes:
+        cfg = dataclasses.replace(cfg, text_encoders=tuple(tes))
+    return cfg
+
+
 def load_modelset(path: str, cfg: ModelSetConfig, dtype=None,
                   engine_id: str = "loaded"):
     """Load a diffusers-layout checkpoint directory:
-    unet/ vae/ text_encoder/ (text_encoder_2/) tokenizer/."""
+    unet/ vae/ text_encoder/ (text_encoder_2/) tokenizer/. The directory's
+    config.json files define the architecture; `cfg` fills the gaps."""
     from .modelset import ModelSet
 
+    cfg = derive_modelset_config(path, cfg)
     unet_file = _find_weights(os.path.join(path, "unet"))
     vae_file = _find_weights(os.path.join(path, "vae"))
     if not unet_file or not vae_file:
@@ -643,22 +686,43 @@ def load_modelset(path: str, cfg: ModelSetConfig, dtype=None,
 
 
 def save_modelset(ms, path: str):
-    """Export a ModelSet as a diffusers-layout safetensors directory
-    (the --save_safetensors feature, reference gyre/manager.py:1863-2035)."""
+    """Export a ModelSet as a diffusers-layout safetensors directory with
+    per-submodule config.json and the tokenizer, so exports reload
+    anywhere — including through diffusers itself (the --save_safetensors
+    feature, reference gyre/manager.py:1863-2035)."""
+    from . import configs as C
+
     cfg = ms.config
     os.makedirs(os.path.join(path, "unet"), exist_ok=True)
     os.makedirs(os.path.join(path, "vae"), exist_ok=True)
     write_safetensors(
         os.path.join(path, "unet", "diffusion_pytorch_model.safetensors"),
         export_unet_state(ms.unet_params, cfg.unet))
+    with open(os.path.join(path, "unet", "config.json"), "w") as fh:
+        json.dump(C.unet_config_to_diffusers(cfg.unet, cfg.sample_size), fh,
+                  indent=2)
     write_safetensors(
         os.path.join(path, "vae", "diffusion_pytorch_model.safetensors"),
         export_vae_state(ms.vae_params, cfg.vae))
+    with open(os.path.join(path, "vae", "config.json"), "w") as fh:
+        json.dump(C.vae_config_to_diffusers(cfg.vae), fh, indent=2)
+    index = {"_class_name": "StableDiffusionPipeline",
+             "unet": ["diffusers", "UNet2DConditionModel"],
+             "vae": ["diffusers", "AutoencoderKL"],
+             "scheduler": ["diffusers", "DPMSolverMultistepScheduler"]}
     for i, (tp, te_cfg) in enumerate(zip(ms.text_params, cfg.text_encoders)):
         sub = "text_encoder" if i == 0 else f"text_encoder_{i + 1}"
         os.makedirs(os.path.join(path, sub), exist_ok=True)
         write_safetensors(os.path.join(path, sub, "model.safetensors"),
                           export_clip_state(tp, te_cfg))
+        with open(os.path.join(path, sub, "config.json"), "w") as fh:
+            json.dump(C.clip_config_to_diffusers(te_cfg), fh, indent=2)
+        index[sub] = ["transformers",
+                      "CLIPTextModelWithProjection"
+                      if te_cfg.projection_dim else "CLIPTextModel"]
+    if hasattr(ms.tokenizer, "save"):
+        ms.tokenizer.save(os.path.join(path, "tokenizer"))
+        index["tokenizer"] = ["transformers", "CLIPTokenizer"]
     os.makedirs(os.path.join(path, "scheduler"), exist_ok=True)
     with open(os.path.join(path, "scheduler", "scheduler_config.json"),
               "w") as fh:
@@ -669,6 +733,4 @@ def save_modelset(ms, path: str):
             "prediction_type": ms.schedule.prediction_type,
         }, fh, indent=2)
     with open(os.path.join(path, "model_index.json"), "w") as fh:
-        json.dump({"_class_name": "StableDiffusionPipeline",
-                   "unet": ["diffusers", "UNet2DConditionModel"],
-                   "vae": ["diffusers", "AutoencoderKL"]}, fh, indent=2)
+        json.dump(index, fh, indent=2)

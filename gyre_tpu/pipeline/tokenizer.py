@@ -102,6 +102,20 @@ class CLIPBPETokenizer:
             return cls(vocab, merges, pad_token_id or 0)
         raise FileNotFoundError(f"no tokenizer files under {path}")
 
+    def save(self, path: str):
+        """Write vocab.json + merges.txt (HF tokenizer dir layout) so
+        exported modelsets round-trip their tokenizer."""
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "vocab.json"), "w") as fh:
+            json.dump(self.encoder, fh, ensure_ascii=False)
+        merges = sorted(self.bpe_ranks.items(), key=lambda kv: kv[1])
+        with open(os.path.join(path, "merges.txt"), "w") as fh:
+            fh.write("#version: 0.2\n")
+            for (a, b), _ in merges:
+                fh.write(f"{a} {b}\n")
+        with open(os.path.join(path, "tokenizer_config.json"), "w") as fh:
+            json.dump({"pad_token": "<|endoftext|>"}, fh)
+
     def _bpe(self, token: str) -> list[str]:
         word = tuple(token[:-1]) + (token[-1] + "</w>",)
         pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}

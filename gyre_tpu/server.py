@@ -79,6 +79,13 @@ def parse_args(argv=None):
                      help="prefix=path local resource mappings")
     res.add_argument("--allow_network_resources", action="store_true",
                      default=environ_bool("SD_ALLOW_NETWORK_RESOURCES"))
+    res.add_argument("--weight_root", action="append", dest="weight_roots",
+                     default=environ_list("SD_WEIGHT_ROOT") or None,
+                     help="local directories searched for model weights")
+    res.add_argument("--refresh_models", action="append",
+                     dest="refresh_models",
+                     default=environ_list("SD_REFRESH_MODELS") or None,
+                     help="model refs to force re-download at startup")
 
     dbg = p.add_argument_group("debug")
     dbg.add_argument("--vram_debug", action="store_true",
@@ -120,8 +127,22 @@ def build_manager(args):
         logger.warning("mesh init failed (%s); single device", e)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    from .manager.weights import WeightResolver
+
+    resolver = WeightResolver(
+        local_dirs=args.weight_roots or ["./weights"],
+        download_cache=os.path.join(args.cache_path or "/tmp/gyre-cache",
+                                    "weights"),
+        allow_network=args.allow_network_resources)
+    for ref in args.refresh_models or []:
+        try:
+            resolver.resolve(ref, refresh=True)
+        except Exception as e:  # noqa: BLE001
+            logger.warning("refresh of %s failed: %s", ref, e)
     return EngineManager(entries, mesh=mesh, compute_dtype=dtype,
-                         batch_max=args.batch_max)
+                         batch_max=args.batch_max,
+                         weight_resolver=resolver)
 
 
 class TokenAuthInterceptor:

@@ -107,3 +107,31 @@ def test_save_and_load_modelset(tmp_path, rng_key):
     kw = dict(prompt="x", height=64, width=64, steps=2, sampler="k_euler",
               seeds=[1], guidance_scale=7.5)
     np.testing.assert_array_equal(np.asarray(a(**kw)), np.asarray(b(**kw)))
+
+
+def test_export_reloads_with_derived_config(tmp_path):
+    """save_modelset writes per-submodule config.json; load_modelset must
+    derive the architecture from THEM even when the caller passes a
+    mismatched preset (real checkpoints never match a preset exactly)."""
+    import numpy as np
+
+    from gyre_tpu.models import configs
+    from gyre_tpu.models.load import load_modelset, save_modelset
+    from gyre_tpu.models.modelset import random_modelset
+
+    ms = random_modelset(configs.SD_TEST, seed=3, dtype=jnp.float32)
+    out = str(tmp_path / "export")
+    save_modelset(ms, out)
+    assert os.path.exists(os.path.join(out, "unet", "config.json"))
+    assert os.path.exists(os.path.join(out, "text_encoder", "config.json"))
+    # deliberately wrong fallback preset: derived configs must win
+    ms2 = load_modelset(out, configs.SD15, dtype=jnp.float32,
+                        engine_id="rt")
+    assert ms2.config.unet == configs.SD_TEST.unet
+    assert ms2.config.text_encoders == configs.SD_TEST.text_encoders
+    assert ms2.config.sample_size == configs.SD_TEST.sample_size
+    a = jax.tree_util.tree_leaves(ms.unet_params)
+    b = jax.tree_util.tree_leaves(ms2.unet_params)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
