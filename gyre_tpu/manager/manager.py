@@ -467,6 +467,50 @@ class EngineManager:
             return run
         return None
 
+    def safety_checker(self):
+        """Trained NSFW checker from config, or None. Sources, in order: a
+        spec with task 'safety', or a 'safety_checker:' key on any engine
+        spec (reference swaps the checker per modelset,
+        gyre/manager.py:1283-1288)."""
+        if hasattr(self, "_safety_checker"):
+            return self._safety_checker
+        import os
+
+        from ..pipeline.safety import SafetyChecker
+
+        ref = None
+        for s in self.specs:
+            if s.task in ("safety", "safety_checker") and s.enabled:
+                ref = s.model
+                break
+            sc = s.params.get("safety_checker")
+            if sc and s.enabled:
+                ref = sc
+                break
+        checker = None
+        if isinstance(ref, str) and ref:
+            try:
+                from .weights import WeightResolver
+
+                if not hasattr(self, "_weight_resolver"):
+                    self._weight_resolver = WeightResolver()
+                path = self._weight_resolver.resolve(ref)
+                if os.path.isdir(path):
+                    for cand in ("model.safetensors",
+                                 os.path.join("safety_checker",
+                                              "model.safetensors")):
+                        p = os.path.join(path, cand)
+                        if os.path.exists(p):
+                            path = p
+                            break
+                checker = SafetyChecker.load(path)
+                logger.info("safety checker loaded from %s", ref)
+            except Exception as e:  # noqa: BLE001
+                logger.warning("safety checker %s failed to load: %s", ref,
+                               e)
+        self._safety_checker = checker
+        return checker
+
     def hint_model(self, hint_type: str, engine_id: str | None = None):
         """Conditioning model for a hint type, matched to the engine's
         unet architecture."""

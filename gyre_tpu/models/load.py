@@ -401,6 +401,85 @@ def load_clip_params(state: dict, cfg: CLIPTextConfig, dtype=None) -> dict:
     return p
 
 
+def load_clip_vision_params(state: dict, dtype=None,
+                            num_heads: int | None = None):
+    """Load a CLIP vision tower (+ visual_projection) from a torch state
+    dict — diffusers StableDiffusionSafetyChecker ('vision_model.
+    vision_model.*'), CLIPVisionModel(WithProjection) ('vision_model.*'),
+    or bare keys. Returns (params, CLIPVisionConfig) with the config
+    derived from tensor shapes (reference loads this via transformers,
+    gyre/pipeline/safety_checkers.py:13-66)."""
+    from .clip import CLIPVisionConfig
+
+    cls_key = next((k for k in state
+                    if k.endswith("embeddings.class_embedding")), None)
+    if cls_key is None:
+        raise KeyError("no CLIP vision tower in state dict")
+    pre = cls_key[:-len("embeddings.class_embedding")]
+    hidden = int(state[cls_key].shape[-1])
+    patch_w = state[f"{pre}embeddings.patch_embedding.weight"]
+    patch = int(patch_w.shape[-1])
+    n_pos = int(state[f"{pre}embeddings.position_embedding.weight"].shape[0])
+    image_size = int(round((n_pos - 1) ** 0.5)) * patch
+    n_layers = 0
+    while f"{pre}encoder.layers.{n_layers}.layer_norm1.weight" in state:
+        n_layers += 1
+    # head count isn't in the weights; CLIP uses 64-dim heads
+    heads = num_heads or max(hidden // 64, 1)
+    fc1 = state[f"{pre}encoder.layers.0.mlp.fc1.weight"]
+    inter = int(fc1.shape[0])
+    # visual_projection sits above the tower prefix (or absent)
+    proj_key = None
+    for cand in ("visual_projection.weight", pre + "visual_projection.weight"):
+        if cand in state:
+            proj_key = cand
+            break
+    root = pre[:-len("vision_model.")] if pre.endswith("vision_model.") \
+        else pre
+    if proj_key is None and root + "visual_projection.weight" in state:
+        proj_key = root + "visual_projection.weight"
+    proj_dim = int(state[proj_key].shape[0]) if proj_key else hidden
+
+    cfg = CLIPVisionConfig(image_size=image_size, patch_size=patch,
+                           hidden_size=hidden, num_layers=n_layers,
+                           num_heads=heads, intermediate_size=inter,
+                           projection_dim=proj_dim)
+    m = KeyMapper(state, dtype)
+    # HF ships the pre-LN key with a historical typo ("pre_layrnorm")
+    pre_ln_key = f"{pre}pre_layrnorm" if f"{pre}pre_layrnorm.weight" in \
+        state else f"{pre}pre_layernorm"
+    p = {
+        "patch_embed": {"w": m.get(f"{pre}embeddings.patch_embedding.weight",
+                                   "conv")},
+        "class_embed": m.get(cls_key, "raw"),
+        "position_embedding": m.get(
+            f"{pre}embeddings.position_embedding.weight", "raw"),
+        "pre_ln": _norm_p(m, pre_ln_key),
+        "post_ln": _norm_p(m, f"{pre}post_layernorm"),
+        "blocks": [],
+    }
+    for i in range(n_layers):
+        lp = f"{pre}encoder.layers.{i}"
+        p["blocks"].append({
+            "ln1": _norm_p(m, f"{lp}.layer_norm1"),
+            "attn": {
+                "q": _linear_p(m, f"{lp}.self_attn.q_proj"),
+                "k": _linear_p(m, f"{lp}.self_attn.k_proj"),
+                "v": _linear_p(m, f"{lp}.self_attn.v_proj"),
+                "out": _linear_p(m, f"{lp}.self_attn.out_proj"),
+            },
+            "ln2": _norm_p(m, f"{lp}.layer_norm2"),
+            "fc1": _linear_p(m, f"{lp}.mlp.fc1"),
+            "fc2": _linear_p(m, f"{lp}.mlp.fc2"),
+        })
+    if proj_key:
+        p["visual_projection"] = {"w": m.get(proj_key, "linear")}
+    else:
+        p["visual_projection"] = {
+            "w": np.eye(hidden, dtype=np.float32)}
+    return p, cfg
+
+
 # ------------------------------------------------------------------- export
 
 

@@ -204,6 +204,14 @@ def main(argv=None):
     manager = build_manager(args)
     manager.resources = resources
 
+    if args.nsfw_behaviour == "block" and manager.safety_checker() is None:
+        # fail closed: blocking on random-weight flags would be noise
+        logger.error("nsfw_behaviour=block requires trained safety-checker "
+                     "weights; add a 'safety_checker:' model reference to "
+                     "engines.yaml (e.g. CompVis/stable-diffusion-safety-"
+                     "checker) or use --nsfw_behaviour flag/ignore")
+        sys.exit(2)
+
     if args.save_safetensors:
         from .models.load import save_modelset
 

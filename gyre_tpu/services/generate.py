@@ -313,13 +313,31 @@ class GenerationServiceServicer:
 
     def _safety_check(self, images) -> np.ndarray:
         """bool[B] nsfw flags (reference flags but never blacks out,
-        gyre/pipeline/safety_checkers.py)."""
+        gyre/pipeline/safety_checkers.py). Fail-closed contract: 'block'
+        REQUIRES trained checker weights; 'flag' without them flags
+        nothing (random-weight flags would be noise)."""
         if self.nsfw_behaviour == "ignore":
             return np.zeros((images.shape[0],), bool)
         if self._safety is None:
-            from ..pipeline.safety import SafetyChecker
+            checker = None
+            if hasattr(self.manager, "safety_checker"):
+                checker = self.manager.safety_checker()
+            if checker is None:
+                from ..pipeline.safety import SafetyChecker
 
-            self._safety = SafetyChecker.random()
+                checker = SafetyChecker.random()
+            self._safety = checker
+        if not self._safety.trained:
+            if self.nsfw_behaviour == "block":
+                raise RuntimeError(
+                    "nsfw_behaviour=block requires trained safety-checker "
+                    "weights; add a 'safety_checker:' model to engines.yaml"
+                    " or run with --nsfw_behaviour flag/ignore")
+            if not getattr(self, "_warned_untrained", False):
+                self._warned_untrained = True
+                logger.warning("no trained safety checker configured; "
+                               "nsfw flagging disabled")
+            return np.zeros((images.shape[0],), bool)
         return self._safety.check(images)
 
     # ------------------------------------------------------------ Generate
