@@ -351,32 +351,58 @@ class EngineManager:
             if spec.task == "upscaler":
                 path = spec.model if isinstance(spec.model, str) and \
                     not spec.model.startswith("preset/") else None
+                if path and spec.params.get("kind") in ("hat", "swinir"):
+                    from .weights import WeightResolver
+
+                    if not hasattr(self, "_weight_resolver"):
+                        self._weight_resolver = WeightResolver()
+                    path = self._weight_resolver.resolve(path)
                 if spec.params.get("kind") == "hat":
                     import jax as _jax
 
                     from ..models import hat
                     from ..pipeline.upscaler import UpscalerPipeline
 
-                    h_params = hat.init(_jax.random.PRNGKey(0),
-                                        dtype=jnp.float32)
+                    if path:
+                        from ..models.load import read_safetensors
+
+                        h_params, h_cfg = hat.load_hat(
+                            read_safetensors(path), jnp.float32)
+                    else:
+                        h_cfg = hat.HAT_TEST
+                        h_params = hat.init(_jax.random.PRNGKey(0), h_cfg,
+                                            dtype=jnp.float32)
                     self._adapted[key] = UpscalerPipeline(
                         h_params,
-                        apply_fn=lambda p, x, s: hat.apply(p, x, scale=s),
-                        scale=4, tile=int(spec.params.get("tile", 64)),
-                        overlap=8, compute_dtype=jnp.float32)
+                        apply_fn=lambda p, x, s, c=h_cfg:
+                        hat.apply(p, x, c, scale=s),
+                        scale=h_cfg.scale,
+                        tile=int(spec.params.get("tile", 64)),
+                        overlap=h_cfg.window // 2,
+                        compute_dtype=jnp.float32)
                 elif spec.params.get("kind") == "swinir":
                     import jax as _jax
 
                     from ..models import swinir
                     from ..pipeline.upscaler import UpscalerPipeline
 
-                    sw_params = swinir.init(_jax.random.PRNGKey(0),
-                                            dtype=jnp.float32)
+                    if path:
+                        from ..models.load import read_safetensors
+
+                        sw_params, sw_cfg = swinir.load_swinir(
+                            read_safetensors(path), jnp.float32)
+                    else:
+                        sw_cfg = swinir.SWINIR_TEST
+                        sw_params = swinir.init(_jax.random.PRNGKey(0),
+                                                sw_cfg, dtype=jnp.float32)
                     self._adapted[key] = UpscalerPipeline(
                         sw_params,
-                        apply_fn=lambda p, x, s: swinir.apply(p, x, scale=s),
-                        scale=4, tile=int(spec.params.get("tile", 64)),
-                        overlap=8, compute_dtype=jnp.float32)
+                        apply_fn=lambda p, x, s, c=sw_cfg:
+                        swinir.apply(p, x, c, scale=s),
+                        scale=sw_cfg.scale,
+                        tile=int(spec.params.get("tile", 64)),
+                        overlap=sw_cfg.window // 2,
+                        compute_dtype=jnp.float32)
                 else:
                     from ..pipeline.upscaler import build_esrgan_pipeline
 
