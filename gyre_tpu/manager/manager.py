@@ -416,13 +416,41 @@ class EngineManager:
 
                 from ..models import codeformer
 
-                cf_params = codeformer.init(_jax.random.PRNGKey(0),
-                                            dtype=jnp.float32)
+                path = spec.model if isinstance(spec.model, str) and \
+                    not spec.model.startswith("preset/") else None
+                if path:
+                    from ..models.load import read_safetensors
+
+                    from .weights import WeightResolver
+
+                    if not hasattr(self, "_weight_resolver"):
+                        self._weight_resolver = WeightResolver()
+                    cf_params, cf_cfg = codeformer.load_codeformer(
+                        read_safetensors(self._weight_resolver.resolve(
+                            path)), jnp.float32)
+                else:
+                    cf_cfg = codeformer.CODEFORMER_TEST
+                    cf_params = codeformer.init(_jax.random.PRNGKey(0),
+                                                cf_cfg, dtype=jnp.float32)
                 fidelity = float(spec.params.get("fidelity", 0.5))
                 fn = _jax.jit(lambda pr, x: codeformer.restore(
-                    pr, x, fidelity=fidelity))
-                self._adapted[key] = \
-                    lambda img: fn(cf_params, jnp.asarray(img, jnp.float32))
+                    pr, x, fidelity=fidelity, cfg=cf_cfg))
+
+                def run_restore(img, _fn=fn, _p=cf_params, _c=cf_cfg):
+                    img = jnp.asarray(img, jnp.float32)
+                    b, h, w, _ = img.shape
+                    s = _c.img_size
+                    if (h, w) != (s, s):  # restore at native size
+                        import jax
+
+                        small = jax.image.resize(img, (b, s, s, 3),
+                                                 "bilinear")
+                        out = _fn(_p, small)
+                        return jax.image.resize(out, (b, h, w, 3),
+                                                "bilinear")
+                    return _fn(_p, img)
+
+                self._adapted[key] = run_restore
             elif spec.task in ("depth", "hinter", "edge", "segmentation",
                                "background_removal", "pose"):
                 self._adapted[key] = self._build_hinter(spec)

@@ -374,19 +374,25 @@ class GenerationServiceServicer:
         p.cfg_sequential = bool(opts.get("cfg_sequential", False))
         p.tome_ratio = float(opts.get("tome_ratio", 0.0))
 
-        # upscaler engines: transform the init image, no diffusion
+        # image-transform engines (upscalers, face restore): transform the
+        # init image, no diffusion (reference task-pipeline engines)
         if p.engine_id:
             try:
                 spec = self.manager.spec(p.engine_id)
             except KeyError:
                 spec = None
-            if spec is not None and spec.task in ("upscaler", "upscale"):
+            if spec is not None and spec.task in ("upscaler", "upscale",
+                                                  "face_restore",
+                                                  "codeformer"):
                 if p.init_image is None:
-                    raise ValueError("upscale request needs an init image")
-                up = self.manager.task_pipeline("upscaler", p.engine_id)
-                out = up(p.init_image)
+                    raise ValueError(f"{spec.task} request needs an init "
+                                     "image")
+                task = "upscaler" if spec.task in ("upscaler", "upscale") \
+                    else spec.task
+                fn = self.manager.task_pipeline(task, p.engine_id)
+                out = np.asarray(fn(p.init_image))
                 yield out[0], (p.seeds[0] if p.seeds else 0), 0, {
-                    "engine": p.engine_id, "op": "upscale"}, False
+                    "engine": p.engine_id, "op": task}, False
                 return
 
         seeds = fill_seeds(p)
