@@ -138,13 +138,34 @@ class HttpHandler(BaseHTTPRequestHandler):
     def _send_json(self, obj, status=200):
         self._send(status, "application/json", json.dumps(obj).encode())
 
-    def _auth_level(self) -> int:
-        """0 = open; checks bearer key against configured access keys."""
+    def _authorized(self, accept_basic: bool = False) -> bool:
+        """Token check (reference CheckAuthHeaderMixin,
+        gyre/server.py:108-120): Bearer always; Basic (user == pass ==
+        token) only on accept_basic routes."""
         if not self.access_keys:
-            return 2
+            return True
         auth = self.headers.get("Authorization", "")
-        key = auth[7:] if auth.startswith("Bearer ") else auth
-        return 2 if key in self.access_keys else 0
+        m = re.match(r"Bearer\s+(.*)", auth, re.IGNORECASE)
+        if m and m.group(1) in self.access_keys:
+            return True
+        m = re.match(r"Basic\s+(.*)", auth, re.IGNORECASE)
+        if accept_basic and m:
+            try:
+                u, _, p = base64.b64decode(m.group(1)).decode().partition(":")
+            except Exception:  # noqa: BLE001
+                return False
+            if u == p and p in self.access_keys:
+                return True
+        return False
+
+    def _deny_basic(self):
+        """401 + WWW-Authenticate for the browser-facing level-1 routes
+        (reference NeedBasicAuthResource, gyre/server.py:338-346)."""
+        self._send(401, "text/plain", b"Unauthorized",
+                   {"WWW-Authenticate": 'Basic realm="gyre-tpu access token"'})
+
+    def _deny(self):
+        self._send_json({"message": "forbidden"}, 403)
 
     def _body(self) -> bytes:
         length = int(self.headers.get("Content-Length") or 0)
@@ -162,6 +183,7 @@ class HttpHandler(BaseHTTPRequestHandler):
     image_cache = None
     log_store = None
     proxies: dict[str, str] = {}
+    file_root: str | None = None
 
     def _maybe_proxy(self, method: str) -> bool:
         """Configured reverse proxies (reference gyre/http/reverse_proxy.py):
@@ -187,9 +209,20 @@ class HttpHandler(BaseHTTPRequestHandler):
         return True
 
     def do_GET(self):
+        try:
+            self._do_get()
+        except Exception as e:  # noqa: BLE001
+            logger.exception("http error")
+            self._send_json({"message": str(e)}, 500)
+
+    def _do_get(self):
         if self._maybe_proxy("GET"):
             return
         path = self.path.split("?")[0]
+        # level 1: browser-facing monitoring (basic auth accepted)
+        if path == "/log" or path.startswith("/log/") or path == "/status":
+            if not self._authorized(accept_basic=True):
+                return self._deny_basic()
         if path.startswith("/log/") and self.image_cache is not None:
             data = self.image_cache.get(path[5:])
             if data is None:
@@ -203,15 +236,49 @@ class HttpHandler(BaseHTTPRequestHandler):
                 "version": "0.1.0",
                 "api": ["grpc", "grpc-web", "stability-rest-v1"],
             })
+        if path == "/openapi.json":
+            data = _openapi_document()
+            if data is not None:
+                return self._send(200, "application/json", data)
         if path == "/status":
             return self._send_json({"engines": self.manager.status()})
-        if path == "/v1/engines/list" or path == "/v1beta/engines/list" or \
-                path == "/v1alpha/engines/list":
-            if self._auth_level() < 1:
-                return self._send_json({"message": "unauthorized"}, 401)
+        if re.fullmatch(r"/v1(?:alpha|beta)?/engines/list", path):
+            if not self._authorized():
+                return self._deny()
             s, ct, body = stability_rest.engines_list_response(self.manager)
             return self._send(s, ct, body)
+        if self._serve_file(path):
+            return
+        if path == "/":
+            return self._send(302, "text/plain", b"", {"Location": "/status"})
         self._send_json({"message": "not found"}, 404)
+
+    _MIME = {".html": "text/html", ".htm": "text/html", ".js":
+             "application/javascript", ".css": "text/css", ".json":
+             "application/json", ".png": "image/png", ".jpg": "image/jpeg",
+             ".jpeg": "image/jpeg", ".webp": "image/webp", ".svg":
+             "image/svg+xml", ".ico": "image/x-icon", ".txt": "text/plain",
+             ".wasm": "application/wasm"}
+
+    def _serve_file(self, path: str) -> bool:
+        """Static file root (reference static.File on --http_file_root,
+        gyre/server.py:359-369, 1211): overlapped on /, traversal-safe."""
+        if not self.file_root:
+            return False
+        import os
+        root = os.path.realpath(self.file_root)
+        target = os.path.realpath(os.path.join(root, path.lstrip("/")))
+        if not (target == root or target.startswith(root + os.sep)):
+            return False
+        if os.path.isdir(target):
+            target = os.path.join(target, "index.html")
+        if not os.path.isfile(target):
+            return False
+        ext = os.path.splitext(target)[1].lower()
+        with open(target, "rb") as fh:
+            self._send(200, self._MIME.get(ext, "application/octet-stream"),
+                       fh.read())
+        return True
 
     def do_POST(self):
         if self._maybe_proxy("POST"):
@@ -221,8 +288,8 @@ class HttpHandler(BaseHTTPRequestHandler):
         try:
             if grpc_web.is_grpc_web(ctype):
                 return self._grpc_web(path, ctype)
-            m = re.match(r"/(v1(?:alpha|beta)?)/generation/([^/]+)/([\w-]+)$",
-                         path)
+            m = re.match(r"/(v1(?:alpha|beta)?)/generation/([^/]+)/"
+                         r"(?:image-to-image/)?([\w-]+)$", path)
             if m:
                 return self._stability_generation(m.group(2), m.group(3),
                                                   ctype)
@@ -242,8 +309,18 @@ class HttpHandler(BaseHTTPRequestHandler):
     # ------------------------------------------------------------- routes
 
     def _stability_generation(self, engine_id: str, kind: str, ctype: str):
-        if self._auth_level() < 2:
-            return self._send_json({"message": "unauthorized"}, 401)
+        if not self._authorized():
+            return self._deny()
+        spec = next((s for s in self.manager.specs if s.id == engine_id), None)
+        if spec is None:
+            return self._send_json({"message": "No such engine"}, 404)
+        if kind == "upscale":
+            if spec.task not in ("upscaler", "upscale"):
+                return self._send_json(
+                    {"message": "Engine is not a upscaler task engine"}, 400)
+        elif spec.task != "generate":
+            return self._send_json(
+                {"message": "Engine is not a generate task engine"}, 400)
         body_raw = self._body()
         if ctype.startswith("multipart/"):
             fields, files = parse_multipart(body_raw, ctype)
@@ -262,8 +339,8 @@ class HttpHandler(BaseHTTPRequestHandler):
 
     def _gateway(self, service: str, method: str):
         """JSON-proto gateway (reference gyre/http/grpc_gateway.py)."""
-        if self._auth_level() < 2:
-            return self._send_json({"message": "unauthorized"}, 401)
+        if not self._authorized():
+            return self._deny()
         body = json.loads(self._body() or b"{}")
         ctx = FakeGrpcContext()
         if service in ("GenerationService", "generation"):
@@ -296,6 +373,8 @@ class HttpHandler(BaseHTTPRequestHandler):
         self._send_json({"message": f"unknown rpc {service}/{method}"}, 404)
 
     def _grpc_web(self, path: str, ctype: str):
+        if not self._authorized():
+            return self._deny()
         m = re.match(r"/([\w.]+)/(\w+)$", path)
         if not m:
             return self._send_json({"message": "bad grpc-web path"}, 404)
@@ -326,9 +405,23 @@ class HttpHandler(BaseHTTPRequestHandler):
         self._send(200, ctype, chunks)
 
 
+def _openapi_document() -> bytes | None:
+    """The packaged REST OpenAPI description (reference ships
+    gyre/generated/stablecabal.openapi.json)."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "generated",
+                        "stablecabal.openapi.json")
+    try:
+        with open(path, "rb") as fh:
+            return fh.read()
+    except OSError:
+        return None
+
+
 def make_http_server(host: str, port: int, *, manager, generation, engines,
                      access_keys=None, image_cache=None,
-                     log_store=None, proxies=None) -> ThreadingHTTPServer:
+                     log_store=None, proxies=None,
+                     file_root=None) -> ThreadingHTTPServer:
     handler = type("BoundHandler", (HttpHandler,), {
         "manager": manager,
         "generation": generation,
@@ -337,6 +430,7 @@ def make_http_server(host: str, port: int, *, manager, generation, engines,
         "image_cache": image_cache,
         "log_store": log_store,
         "proxies": dict(proxies or {}),
+        "file_root": file_root,
     })
     return ThreadingHTTPServer((host, port), handler)
 

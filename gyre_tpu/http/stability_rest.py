@@ -59,6 +59,27 @@ def build_request(engine_id: str, body: dict, kind: str,
     files = files or {}
     req = pb.Request(engine_id=engine_id)
 
+    if kind == "upscale":
+        # reference StabilityRESTAPI_UpscaleController._prepare_request
+        # (gyre/http/stability_rest_api.py:388-413): image + optional
+        # target width/height
+        img_data = files.get("image")
+        if img_data is None and body.get("image"):
+            img_data = base64.b64decode(body["image"])
+        if img_data is None:
+            raise RESTError(400, "missing_image",
+                            "upscale requires an init image")
+        prompt = req.prompt.add()
+        prompt.parameters.init = True
+        prompt.artifact.type = pb.ARTIFACT_IMAGE
+        prompt.artifact.binary = img_data
+        prompt.artifact.mime = "image/png"
+        if "width" in body:
+            req.image.width = _clamp(int(body["width"]), "width")
+        if "height" in body:
+            req.image.height = _clamp(int(body["height"]), "height")
+        return req
+
     prompts = body.get("text_prompts") or []
     if not prompts:
         raise RESTError(400, "invalid_prompts", "text_prompts is required")

@@ -231,15 +231,19 @@ def check_and_update(dist_dir: str, user_dir: str,
         with open(path, "rb") as fh:
             return hashlib.sha1(fh.read()).hexdigest()
 
+    def walk(d):
+        for root, _dirs, files in os.walk(d):
+            for f in sorted(files):
+                yield os.path.relpath(os.path.join(root, f), d)
+
     changed = []
     new_hashes = {}
-    for name in sorted(os.listdir(dist_dir)):
+    for name in sorted(walk(dist_dir)):
         src = os.path.join(dist_dir, name)
-        if not os.path.isfile(src):
-            continue
         new_hashes[name] = digest(src)
         dst = os.path.join(user_dir, name)
         if not os.path.exists(dst):
+            os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
             shutil.copy2(src, dst)
             changed.append(name)
         elif digest(dst) == old_hashes.get(name):
@@ -254,9 +258,9 @@ def check_and_update(dist_dir: str, user_dir: str,
             continue
         dst = os.path.join(user_dir, name)
         if os.path.exists(dst) and digest(dst) == h:
-            attic = os.path.join(user_dir, attic_name)
-            os.makedirs(attic, exist_ok=True)
-            shutil.move(dst, os.path.join(attic, name))
+            attic_dst = os.path.join(user_dir, attic_name, name)
+            os.makedirs(os.path.dirname(attic_dst), exist_ok=True)
+            shutil.move(dst, attic_dst)
     with open(hashes_path, "w") as fh:
         for name, h in new_hashes.items():
             fh.write(f"{h} {name}\n")

@@ -42,6 +42,9 @@ def parse_args(argv=None):
     net.add_argument("--proxy", action="append", dest="proxies",
                      default=environ_list("SD_PROXY") or None,
                      help="name=url reverse proxy mappings (/p/<name>/...)")
+    net.add_argument("--http_file_root", type=str,
+                     default=os.environ.get("SD_HTTP_FILE_ROOT", ""),
+                     help="serve static files from this directory at /")
 
     gen = p.add_argument_group("generation")
     gen.add_argument("--enginecfg", type=str,
@@ -97,12 +100,61 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def resolve_enginecfg(path: str) -> str:
+    """Resolve --enginecfg conveniences (reference gyre/server.py:980-1030):
+    an http(s) URL downloads a zip (or bare yaml) into a temp dir; a
+    directory means `<dir>/engines.yaml`. When the target is an
+    `engines.yaml` outside the packaged config tree, sync shipped dist
+    configs into its directory first (engines_yaml.check_and_update)."""
+    import tempfile
+    import zipfile
+
+    from .manager import engines_yaml
+
+    if path.startswith(("http://", "https://")):
+        logger.warning("loading config from a URL; make sure you trust it")
+        import urllib.request
+        tmp = tempfile.mkdtemp(prefix="gyre-cfg-")
+        blob = os.path.join(tmp, "config.bin")
+        with urllib.request.urlopen(path, timeout=60) as resp, \
+                open(blob, "wb") as fh:
+            fh.write(resp.read())
+        if zipfile.is_zipfile(blob):
+            with zipfile.ZipFile(blob) as zh:
+                zh.extractall(tmp)
+            path = os.path.join(tmp, "engines.yaml")
+            if not os.path.exists(path):
+                raise RuntimeError(f"zip config did not contain engines.yaml")
+        else:
+            path = os.path.join(tmp, "engines.yaml")
+            os.rename(blob, path)
+        return path
+
+    if os.path.isdir(path):
+        path = os.path.join(path, "engines.yaml")
+
+    if os.path.basename(path) == "engines.yaml":
+        dist_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "config")
+        user_dir = os.path.dirname(os.path.abspath(path)) or "."
+        if os.path.isdir(dist_dir) and \
+                os.path.realpath(user_dir) != os.path.realpath(dist_dir):
+            try:
+                changed = engines_yaml.check_and_update(dist_dir, user_dir)
+                if changed:
+                    logger.info("dist config update: %s", ", ".join(changed))
+            except Exception as e:  # noqa: BLE001
+                logger.warning("dist config update failed: %s", e)
+    return path
+
+
 def build_manager(args):
     import jax.numpy as jnp
 
     from .manager import engines_yaml
     from .manager.manager import EngineManager
 
+    args.enginecfg = resolve_enginecfg(args.enginecfg)
     if os.path.exists(args.enginecfg):
         entries = engines_yaml.load(args.enginecfg)
     else:
@@ -251,7 +303,8 @@ def main(argv=None):
         engines=engines,
         access_keys=[args.access_token] if args.access_token else None,
         image_cache=cache, log_store=log_store,
-        proxies=dict(p.split("=", 1) for p in (args.proxies or [])))
+        proxies=dict(p.split("=", 1) for p in (args.proxies or [])),
+        file_root=args.http_file_root or None)
     start_http_server(http_server)
     logger.info("HTTP listening on %s:%d", http_host or "*", args.http_port)
 

@@ -8,6 +8,9 @@ import pytest
 from gyre_tpu.manager import engines_yaml
 
 
+pytestmark = pytest.mark.smoke
+
+
 def write(tmp_path, name, content):
     p = tmp_path / name
     p.parent.mkdir(parents=True, exist_ok=True)
@@ -154,3 +157,50 @@ def test_dist_config_loads():
     assert sd15["model"] == "preset/sd15"
     assert sd15["default"] is True
     assert all(not e.get("abstract") for e in entries)
+
+
+def test_check_and_update_recursive(tmp_path):
+    """Dist config trees (templates/, engines/) sync recursively; user
+    edits write .new alongside instead of clobbering."""
+    dist = tmp_path / "dist"
+    (dist / "engines").mkdir(parents=True)
+    (dist / "engines.yaml").write_text("- id: a\n")
+    (dist / "engines" / "extra.yaml").write_text("- id: b\n")
+    user = tmp_path / "user"
+
+    changed = engines_yaml.check_and_update(str(dist), str(user))
+    assert sorted(changed) == ["engines.yaml", "engines/extra.yaml"]
+    assert (user / "engines" / "extra.yaml").read_text() == "- id: b\n"
+
+    # user edit + dist update -> .new, not clobber
+    (user / "engines" / "extra.yaml").write_text("- id: b\n  custom: 1\n")
+    (dist / "engines" / "extra.yaml").write_text("- id: b2\n")
+    engines_yaml.check_and_update(str(dist), str(user))
+    assert "custom" in (user / "engines" / "extra.yaml").read_text()
+    assert (user / "engines" / "extra.yaml.new").read_text() == "- id: b2\n"
+
+
+def test_resolve_enginecfg_syncs_dist(tmp_path):
+    """server.resolve_enginecfg runs check_and_update into user config
+    dirs (reference gyre/server.py:1024-1026) without clobbering a
+    pre-existing user engines.yaml."""
+    from gyre_tpu.server import resolve_enginecfg
+
+    user = tmp_path / "cfg"
+    user.mkdir()
+    (user / "engines.yaml").write_text("- id: mine\n  model: {preset: test}\n")
+    path = resolve_enginecfg(str(user / "engines.yaml"))
+    assert path == str(user / "engines.yaml")
+    assert "mine" in (user / "engines.yaml").read_text()  # not clobbered
+    # shipped dist templates arrived
+    assert (user / "templates" / "stable-diffusion.yaml").exists()
+
+
+def test_resolve_enginecfg_dir_and_dist(tmp_path):
+    from gyre_tpu.server import resolve_enginecfg
+
+    user = tmp_path / "cfg2"
+    user.mkdir()
+    path = resolve_enginecfg(str(user))
+    assert path == str(user / "engines.yaml")
+    assert (user / "engines.yaml").exists()  # dist copy arrived

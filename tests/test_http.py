@@ -35,7 +35,9 @@ def base_url():
 
     manager = EngineManager(
         [{"id": "test-engine", "model": "preset/test", "default": True,
-          "name": "Test"}],
+          "name": "Test"},
+         {"id": "tiny-upscaler", "task": "upscaler", "name": "Upscale",
+          "blocks": 2, "tile": 32}],
         compute_dtype=jnp.float32, batch_max=2)
     manager.load_engines()
     generation = GenerationServiceServicer(manager, batch_max=2)
@@ -283,3 +285,115 @@ def test_grpc_web_generate(base_url):
     answer = pb.Answer.FromString(data_frames[0])
     assert answer.artifacts[0].type == pb.ARTIFACT_IMAGE
     assert b"grpc-status: 0" in trailer_frames[0]
+
+
+def test_rest_upscale(base_url):
+    """POST /v1/generation/<engine>/image-to-image/upscale (reference
+    StabilityRESTAPI_UpscaleController)."""
+    init = np.full((1, 32, 32, 3), 0.25, np.float32)
+    b64 = base64.b64encode(I.encode_png(init)).decode()
+    status, headers, body = _post(
+        base_url + "/v1/generation/tiny-upscaler/image-to-image/upscale",
+        {"image": b64})
+    assert status == 200, body
+    doc = json.loads(body)
+    img = I.decode_png(base64.b64decode(doc["artifacts"][0]["base64"]))
+    assert img.shape[1] > 32 and img.shape[2] > 32  # upscaled
+
+
+def test_rest_upscale_wrong_task(base_url):
+    init = np.full((1, 32, 32, 3), 0.25, np.float32)
+    b64 = base64.b64encode(I.encode_png(init)).decode()
+    status, _, body = _post(
+        base_url + "/v1/generation/test-engine/image-to-image/upscale",
+        {"image": b64})
+    assert status == 400 and b"upscaler" in body
+
+
+def test_rest_generate_on_upscaler_task(base_url):
+    status, _, body = _post(
+        base_url + "/v1/generation/tiny-upscaler/text-to-image",
+        {"text_prompts": [{"text": "x"}], "height": 64, "width": 64})
+    assert status == 400 and b"generate" in body
+
+
+def test_rest_unknown_engine_404(base_url):
+    status, _, body = _post(
+        base_url + "/v1/generation/no-such/text-to-image",
+        {"text_prompts": [{"text": "x"}]})
+    assert status == 404
+
+
+def test_openapi_document(base_url):
+    status, body = _get(base_url + "/openapi.json")
+    doc = json.loads(body)
+    assert status == 200 and doc["openapi"].startswith("3.")
+    assert "/v1/generation/{engine_id}/image-to-image/upscale" in doc["paths"]
+
+
+def test_three_level_auth():
+    """Level 0 = server.json open; level 1 = status accepts basic auth
+    (401+WWW-Authenticate otherwise); level 2 = API bearer-only (403)."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    server = make_http_server(
+        "localhost", port, manager=None, generation=None, engines=None,
+        access_keys=["sekrit"])
+    start_http_server(server)
+    url = f"http://localhost:{port}"
+    try:
+        status, _ = _get(url + "/server.json")  # level 0: open
+        assert status == 200
+
+        try:  # level 1 without auth: 401 + basic challenge
+            _get(url + "/status")
+            raise AssertionError("expected 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+            assert "Basic" in e.headers.get("WWW-Authenticate", "")
+
+        basic = base64.b64encode(b"sekrit:sekrit").decode()
+        status, _, body = _post(  # level 2 rejects basic: 403
+            url + "/grpcgateway/EnginesService/ListEngines", {},
+            {"Authorization": f"Basic {basic}"})
+        assert status == 403
+
+        try:  # level 1 accepts the same basic credentials
+            req = urllib.request.Request(
+                url + "/status", headers={"Authorization": f"Basic {basic}"})
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 500 (no manager), not auth error")
+        except urllib.error.HTTPError as e:
+            assert e.code != 401 and e.code != 403
+    finally:
+        server.shutdown()
+
+
+def test_static_file_root(tmp_path):
+    """--http_file_root serving with traversal protection (reference
+    static.File overlap, gyre/server.py:359-369)."""
+    (tmp_path / "index.html").write_text("<h1>gyre</h1>")
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "app.js").write_text("console.log(1)")
+    (tmp_path / "secret.txt").write_text("x")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    server = make_http_server(
+        "localhost", port, manager=None, generation=None, engines=None,
+        file_root=str(tmp_path))
+    start_http_server(server)
+    url = f"http://localhost:{port}"
+    try:
+        status, body = _get(url + "/")
+        assert status == 200 and b"gyre" in body
+        status, body = _get(url + "/sub/app.js")
+        assert status == 200 and b"console" in body
+        try:
+            _get(url + "/../etc/passwd")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()

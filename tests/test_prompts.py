@@ -1,10 +1,14 @@
 """Prompt parsing / weighting / tokenization tests (no weights needed)."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 from gyre_tpu.pipeline import prompts as P
 from gyre_tpu.pipeline.tokenizer import FallbackTokenizer
+
+
+pytestmark = pytest.mark.smoke
 
 
 def test_parse_attention_basic():

@@ -14,6 +14,9 @@ import pytest
 from gyre_tpu.generated import generation_pb2 as pb
 
 
+pytestmark = pytest.mark.smoke
+
+
 def _free_port():
     with socket.socket() as s:
         s.bind(("localhost", 0))
@@ -91,10 +94,12 @@ def test_cli_client_end_to_end(server_ports, tmp_path):
 
     grpc_port, _ = server_ports
     out = tmp_path / "gen.png"
+    # same StaticSpec as the roundtrip test above (dims/steps/sampler) so
+    # this hits the jit cache — keeps the smoke tier under a minute
     rc = client_mod.main([
         "a client test", "--host", f"localhost:{grpc_port}",
         "-W", "64", "-H", "64", "--steps", "2", "-S", "5",
-        "-s", "k_euler", "-o", str(out)])
+        "-o", str(out)])
     assert rc == 0
     assert out.read_bytes()[:4] == b"\x89PNG"
 

@@ -9,6 +9,9 @@ from gyre_tpu.manager.weights import (WeightResolver, parse_civitai_ref,
                                       sha256_file, verify_sha256)
 
 
+pytestmark = pytest.mark.smoke
+
+
 def test_civitai_url_parsing():
     assert parse_civitai_ref("https://civitai.com/models/1234")["model_id"] \
         == "1234"
