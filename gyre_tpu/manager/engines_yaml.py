@@ -39,26 +39,84 @@ def _none_constructor(loader, node):
     return None
 
 
+class TagTemplate:
+    """A `!<extends>/<name>` (concrete) or `!@<extends>/<name>` (abstract)
+    tagged document — the reference's tag-based template DSL
+    (gyre/engines_yaml.py:26-79). `params` is the variable mapping; the
+    body `mappings` are config entries rendered by walk_template."""
+
+    def __init__(self, id: str, extends: str, abstract: bool,
+                 params: dict, mappings: list):
+        self.id = id
+        self.extends = extends
+        self.abstract = abstract
+        self.params = params
+        self.mappings = mappings
+
+
+class TagParams:
+    def __init__(self, mapping: dict):
+        self.mapping = mapping
+
+
+_TEMPLATE_TAG_RE = re.compile(r"^!(@?)([\w.-]+)/([\w.-]+)$")
+
+
+def _template_constructor(loader, tag_suffix, node):
+    tag = node.tag
+    m = _TEMPLATE_TAG_RE.match(tag)
+    if not m:
+        raise yaml.constructor.ConstructorError(
+            None, None, f"unknown tag {tag!r}", node.start_mark)
+    abstract, extends, name = bool(m.group(1)), m.group(2), m.group(3)
+    if isinstance(node, yaml.MappingNode):
+        params = loader.construct_mapping(node, deep=True)
+        mappings = []
+    else:
+        items = loader.construct_sequence(node, deep=True)
+        params = next((i.mapping for i in items
+                       if isinstance(i, TagParams)), {})
+        mappings = [i for i in items if not isinstance(i, TagParams)]
+    return TagTemplate(name, extends, abstract, params, mappings)
+
+
+def _params_constructor(loader, node):
+    return TagParams(loader.construct_mapping(node, deep=True))
+
+
 class _Loader(yaml.SafeLoader):
     pass
 
 
 _Loader.add_constructor("!none", _none_constructor)
+_Loader.add_constructor("!params", _params_constructor)
 for t in ["!include"]:
     _Loader.add_constructor(t, _include_constructor)
 _Loader.add_multi_constructor(
     "!include(", lambda loader, suffix, node: _IncludeTag(
         loader.construct_scalar(node), suffix.rstrip(")")))
+# catch-all: template tags (!sd1x/my-engine). Registered last so the
+# !include( prefix wins for include tags.
+_Loader.add_multi_constructor("!", _template_constructor)
 
 
 def _load_file(path: str, flags: dict[str, bool], seen: set[str]) -> list:
-    """Load one yaml file, resolving !include tags depth-first."""
+    """Load one yaml file (possibly multi-document), resolving !include
+    tags depth-first."""
     rp = os.path.realpath(path)
     if rp in seen:
         raise ValueError(f"recursive include of {path}")
     seen = seen | {rp}
     with open(path) as fh:
-        doc = yaml.load(fh, Loader=_Loader)
+        docs = [d for d in yaml.load_all(fh, Loader=_Loader) if d is not None]
+    doc = []
+    for d in docs:
+        if isinstance(d, list):
+            doc.extend(d)
+        else:
+            doc.append(d)
+    if len(docs) == 1 and not isinstance(docs[0], list):
+        doc = docs[0]
     return _resolve_includes(doc, os.path.dirname(path), flags, seen)
 
 
@@ -139,13 +197,160 @@ def _render(node, vars: dict):
 
 
 def deep_merge(base, overlay):
-    """Overlay wins; dicts merge recursively; lists replace."""
+    """Overlay wins; dicts merge recursively; an overlay value of None
+    deletes the key (reference merge_dict, gyre/engines_yaml.py:257-269);
+    lists replace."""
     if isinstance(base, dict) and isinstance(overlay, dict):
         out = dict(base)
         for k, v in overlay.items():
-            out[k] = deep_merge(base.get(k), v) if k in base else v
+            if v is None and k in out:
+                del out[k]
+            elif k in base:
+                out[k] = deep_merge(base.get(k), v)
+            else:
+                out[k] = v
         return out
     return overlay
+
+
+# ------------------------------------------- tag-based templates (!x/y)
+
+class _Bubble:
+    """A list escaping from a single-key section dict up into the parent
+    list (reference Bubble, gyre/engines_yaml.py:158-160)."""
+
+    def __init__(self, val):
+        self.val = val
+
+
+_PARTIAL_RE = re.compile(r"\{\{>\s*(.*?)\s*\}\}")
+_BOOL_RE = re.compile(r"\{\{([#^])\s*(.*?)\s*\}\}")
+_FULLVAR_RE = re.compile(r"\{\{(.*?)\}\}$")
+_ANYVAR_RE = re.compile(r"\{\{(.*?)\}\}")
+
+
+def _ctx_get(context: dict, key: str):
+    """Context lookup with a YAML-parsed default after ':'
+    ({{enabled:False}}, {{vae:'@vae-id'}})."""
+    default = None
+    if ":" in key:
+        key, raw = key.split(":", 1)
+        default = yaml.safe_load(raw)
+    return context.get(key, default)
+
+
+def walk_template(el, context: dict):
+    """Render a tag-template body against a param context: {{var}} /
+    {{var:default}} substitution, {{> partial}} splices, {{#flag}} /
+    {{^flag}} boolean sections with dict-update and list-bubble semantics
+    (reference walk_template, gyre/engines_yaml.py:163-255)."""
+    if isinstance(el, dict):
+        res = {}
+        is_single = len(el) == 1
+        for k, v in el.items():
+            if isinstance(k, str) and (m := _PARTIAL_RE.match(k)):
+                ko = walk_template(k, context)
+                if isinstance(ko, dict):
+                    res.update(ko)
+                elif is_single and isinstance(ko, list):
+                    return _Bubble(ko)
+                elif ko:
+                    raise ValueError(
+                        f"partial {m.group(1)} returned {type(ko).__name__},"
+                        " not a dict")
+            elif isinstance(k, str) and (m := _BOOL_RE.match(k)):
+                if walk_template(k, context):
+                    vo = walk_template(v, context)
+                    if isinstance(vo, dict):
+                        res.update(vo)
+                    elif is_single and isinstance(vo, list):
+                        return _Bubble(vo)
+                    elif vo:
+                        raise ValueError(
+                            f"section {m.group(2)} value is "
+                            f"{type(vo).__name__}, not a dict")
+            else:
+                ko = walk_template(k, context)
+                vo = walk_template(v, context)
+                if isinstance(vo, _Bubble):
+                    raise ValueError(f"bubbled list under key {k!r}")
+                res[ko] = vo
+        return res
+    if isinstance(el, list):
+        res = []
+        for v in el:
+            vo = walk_template(v, context)
+            if isinstance(vo, _Bubble):
+                res.extend(vo.val)
+            elif vo:
+                res.append(vo)
+        return res
+    if isinstance(el, str):
+        if m := _PARTIAL_RE.match(el):
+            return _ctx_get(context, m.group(1))
+        if m := _BOOL_RE.match(el):
+            val = _ctx_get(context, m.group(2))
+            return not val if m.group(1) == "^" else val
+        if m := _FULLVAR_RE.match(el):
+            return _ctx_get(context, m.group(1))
+        return _ANYVAR_RE.sub(
+            lambda m: str(_ctx_get(context, m.group(1)) or ""), el)
+    return el
+
+
+def flatten_tag_templates(entries: list) -> list:
+    """Same-id TagTemplates merge params and body entries (reference
+    flatten_templates, gyre/engines_yaml.py:289-308): lets user overlays
+    extend a shipped template."""
+    res, templates = [], {}
+    for item in entries:
+        if isinstance(item, TagTemplate) and item.id in templates:
+            prev = templates[item.id]
+            prev.params = deep_merge(prev.params, item.params)
+            prev.mappings = merge_by_id(prev.mappings + item.mappings)
+        else:
+            res.append(item)
+            if isinstance(item, TagTemplate):
+                templates[item.id] = item
+    return res
+
+
+def apply_tag_templates(entries: list) -> list:
+    """Expand concrete `!ext/name` instances through their abstract
+    `!@...` chains (reference apply_templates, gyre/engines_yaml.py:
+    311-345): the context starts at {id}, each level renders its body
+    then folds its params into the context, until `extends` reaches the
+    root 'template'."""
+    res, templates = [], {}
+    for item in entries:
+        if not isinstance(item, TagTemplate):
+            res.append(item)
+            continue
+        if item.abstract:
+            templates[item.id] = item
+            continue
+        context = {"id": item.id}
+        mappings: list = []
+        template: TagTemplate | None = item
+        depth = 0
+        while template is not None:
+            depth += 1
+            if depth > 16:
+                raise ValueError(f"template chain too deep at {item.id}")
+            output = walk_template(template.mappings, context)
+            mappings = merge_by_id(output + mappings)
+            context = deep_merge(
+                context, walk_template(template.params, context))
+            if template.extends and template.extends != "template":
+                if template.extends not in templates:
+                    raise KeyError(
+                        f"unknown template {template.extends!r} "
+                        f"(instantiating {item.id})")
+                template = templates[template.extends]
+            else:
+                template = None
+        res.extend(mappings)
+    return res
 
 
 def apply_templates(entries: list[dict]) -> list[dict]:
@@ -281,7 +486,10 @@ def load(path: str, flags: dict[str, bool] | None = None,
         elif item is not None:
             entries.append(item)
     if vars:
-        entries = [_render(e, vars) for e in entries]
+        entries = [_render(e, vars) if not isinstance(e, TagTemplate) else e
+                   for e in entries]
+    entries = flatten_tag_templates(entries)
+    entries = apply_tag_templates(entries)
     entries = merge_by_id(entries)
     entries = apply_templates(entries)
     return entries

@@ -204,3 +204,78 @@ def test_resolve_enginecfg_dir_and_dist(tmp_path):
     path = resolve_enginecfg(str(user))
     assert path == str(user / "engines.yaml")
     assert (user / "engines.yaml").exists()  # dist copy arrived
+
+
+def test_tag_template_dsl(tmp_path):
+    """Reference tag-based template syntax (gyre/engines_yaml.py:26-345):
+    !@template/<name> abstracts, !<tpl>/<id> instances, !params, partial
+    splices {{> x}}, boolean sections with YAML defaults, and
+    delete-on-None merge."""
+    (tmp_path / "tpl.yaml").write_text("""
+---
+!@template/sd-family
+- model_id: "{{id}}-base"
+  "{{> source}}": _
+
+- "{{#inpaint_source}}":
+    - model_id: "{{id}}-inpaint"
+      "{{> inpaint_source}}": _
+
+- id: "{{id}}"
+  name: "{{name}}"
+  model: "@{{id}}-base"
+  enabled: "{{enabled:False}}"
+  overrides:
+    vae: "{{vae:'@vae-common'}}"
+""")
+    (tmp_path / "eng.yaml").write_text("""
+!sd-family/my-engine
+name: "My engine"
+enabled: True
+source:
+  model: "some/repo"
+inpaint_source:
+  model: "some/repo-inpaint"
+""")
+    (tmp_path / "engines.yaml").write_text(
+        "- !include tpl.yaml\n- !include eng.yaml\n")
+    entries = engines_yaml.load(str(tmp_path / "engines.yaml"))
+    by_key = {e.get("id") or e.get("model_id"): e for e in entries}
+    assert by_key["my-engine-base"]["model"] == "some/repo"
+    assert by_key["my-engine-inpaint"]["model"] == "some/repo-inpaint"
+    eng = by_key["my-engine"]
+    assert eng["name"] == "My engine" and eng["enabled"] is True
+    assert eng["model"] == "@my-engine-base"
+    assert eng["overrides"]["vae"] == "@vae-common"  # yaml-parsed default
+
+
+def test_tag_template_chain_and_params(tmp_path):
+    """Abstract-extends-abstract chains with !params overrides and
+    falsy-section suppression."""
+    (tmp_path / "engines.yaml").write_text("""
+---
+!@template/base
+- id: "{{id}}"
+  kind: "{{kind:basic}}"
+  "{{#extra}}":
+    extras: "{{extra}}"
+---
+!@base/fancy
+- !params
+  kind: fancy
+- id: "{{id}}"
+  decorated: true
+---
+!fancy/thing
+extra: ""
+""")
+    entries = engines_yaml.load(str(tmp_path / "engines.yaml"))
+    (thing,) = [e for e in entries if e.get("id") == "thing"]
+    assert thing["kind"] == "fancy" and thing["decorated"] is True
+    assert "extras" not in thing  # falsy section suppressed
+
+
+def test_merge_deletes_on_none():
+    out = engines_yaml.deep_merge({"a": 1, "b": {"c": 2, "d": 3}},
+                                  {"b": {"c": None}, "a": None, "e": 4})
+    assert out == {"b": {"d": 3}, "e": 4}
