@@ -86,6 +86,12 @@ class EngineManager:
                  weight_resolver=None):
         entries = [s for s in engine_specs if isinstance(s, dict)]
         hintset_entries = [e for e in entries if "hintset_id" in e]
+        # model_id entries: the shared model registry "@ref"s resolve
+        # through (reference @model_id memoization, gyre/manager.py:
+        # 1602-1648 and config/models/*.yaml)
+        self.model_entries: dict[str, dict] = {
+            e["model_id"]: e for e in entries
+            if isinstance(e.get("model_id"), str)}
         self.specs: list[EngineSpec] = [
             s if isinstance(s, EngineSpec) else EngineSpec.from_dict(s)
             for s in engine_specs
@@ -98,7 +104,8 @@ class EngineManager:
 
         self.hintsets = HintsetManager(
             hintset_entries, model_configs.SD15.unet,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype,
+            model_loader=self.load_model_entry)
         self.mesh = mesh
         self.compute_dtype = compute_dtype
         self.batch_max = batch_max
@@ -346,28 +353,51 @@ class EngineManager:
                 return self._build_task_pipeline(spec, key)
         return self._adapted[key]
 
+    def spec_state_dict(self, spec) -> dict | None:
+        """Resolve an engine spec's `model:` to a loaded state dict:
+        '@model-id' registry refs, HF repos, local paths. None when the
+        spec has no weight reference or it is unavailable (task models
+        then random-init so the graph stays runnable)."""
+        model = spec.model
+        if not isinstance(model, str) or not model or \
+                model.startswith("preset/"):
+            return None
+        try:
+            return self.load_model_entry(model)[0]
+        except Exception as e:  # noqa: BLE001
+            logger.warning("engine %s: weights %s unavailable (%s); "
+                           "random-init", spec.id, model, e)
+            return None
+
     def _build_task_pipeline(self, spec, key):
         if key not in self._adapted:
-            if spec.task == "upscaler":
-                path = spec.model if isinstance(spec.model, str) and \
-                    not spec.model.startswith("preset/") else None
-                if path and spec.params.get("kind") in ("hat", "swinir"):
-                    from .weights import WeightResolver
+            if spec.task == "upscaler" and \
+                    spec.params.get("kind") in ("sd-x4", "diffusion",
+                                                "latent"):
+                # text-guided latent diffusion upscaler engine (reference
+                # diffusers_upscaler_wrapper.py): full modelset, built the
+                # same way generate engines are
+                from ..pipeline.diffusion_upscaler import DiffusionUpscaler
 
-                    if not hasattr(self, "_weight_resolver"):
-                        self._weight_resolver = WeightResolver()
-                    path = self._weight_resolver.resolve(path)
+                up_spec = EngineSpec(
+                    id=spec.id, model=spec.model or "preset/upscaler-x4",
+                    task="generate")
+                ms = self._build_modelset(up_spec)
+                up = DiffusionUpscaler(ms, compute_dtype=self.compute_dtype)
+                steps = int(spec.params.get("steps", 20))
+                noise_level = int(spec.params.get("noise_level", 20))
+                self._adapted[key] = lambda img, _u=up: _u(
+                    img, steps=steps, noise_level=noise_level)
+            elif spec.task == "upscaler":
+                state = self.spec_state_dict(spec)
                 if spec.params.get("kind") == "hat":
                     import jax as _jax
 
                     from ..models import hat
                     from ..pipeline.upscaler import UpscalerPipeline
 
-                    if path:
-                        from ..models.load import read_safetensors
-
-                        h_params, h_cfg = hat.load_hat(
-                            read_safetensors(path), jnp.float32)
+                    if state is not None:
+                        h_params, h_cfg = hat.load_hat(state, jnp.float32)
                     else:
                         h_cfg = hat.HAT_TEST
                         h_params = hat.init(_jax.random.PRNGKey(0), h_cfg,
@@ -386,11 +416,9 @@ class EngineManager:
                     from ..models import swinir
                     from ..pipeline.upscaler import UpscalerPipeline
 
-                    if path:
-                        from ..models.load import read_safetensors
-
-                        sw_params, sw_cfg = swinir.load_swinir(
-                            read_safetensors(path), jnp.float32)
+                    if state is not None:
+                        sw_params, sw_cfg = swinir.load_swinir(state,
+                                                               jnp.float32)
                     else:
                         sw_cfg = swinir.SWINIR_TEST
                         sw_params = swinir.init(_jax.random.PRNGKey(0),
@@ -407,7 +435,7 @@ class EngineManager:
                     from ..pipeline.upscaler import build_esrgan_pipeline
 
                     self._adapted[key] = build_esrgan_pipeline(
-                        path,
+                        state_dict=state,
                         num_blocks=int(spec.params.get("blocks", 23)),
                         tile=int(spec.params.get("tile", 128)),
                         compute_dtype=self.compute_dtype)
@@ -416,18 +444,10 @@ class EngineManager:
 
                 from ..models import codeformer
 
-                path = spec.model if isinstance(spec.model, str) and \
-                    not spec.model.startswith("preset/") else None
-                if path:
-                    from ..models.load import read_safetensors
-
-                    from .weights import WeightResolver
-
-                    if not hasattr(self, "_weight_resolver"):
-                        self._weight_resolver = WeightResolver()
+                state = self.spec_state_dict(spec)
+                if state is not None:
                     cf_params, cf_cfg = codeformer.load_codeformer(
-                        read_safetensors(self._weight_resolver.resolve(
-                            path)), jnp.float32)
+                        state, jnp.float32)
                 else:
                     cf_cfg = codeformer.CODEFORMER_TEST
                     cf_params = codeformer.init(_jax.random.PRNGKey(0),
@@ -504,11 +524,9 @@ class EngineManager:
             fn = _jax.jit(hinters.mlsd_apply)
             return lambda img: fn(params, jnp.asarray(img, jnp.float32))
         if kind in ("edge", "hinter", "hed", "soft_edge", "lineart"):
-            path = spec.model if isinstance(spec.model, str) else None
-            if path:
-                from ..models.load import read_safetensors
-
-                params = hinters.load_hed_params(read_safetensors(path))
+            state = self.spec_state_dict(spec)
+            if state is not None:
+                params = hinters.load_hed_params(state)
             else:
                 params = hinters.hed_init(_jax.random.PRNGKey(seed),
                                           dtype=jnp.float32)
@@ -565,13 +583,45 @@ class EngineManager:
         self._safety_checker = checker
         return checker
 
+    def load_model_entry(self, ref: str):
+        """'@model-id' registry reference or direct path/repo -> (state
+        dict, config entry). The entry's model/subfolder/allow_patterns
+        keys drive weight resolution (reference model-config loading,
+        gyre/manager.py:1602-1698)."""
+        from ..models.load import read_state_dict
+
+        from .weights import WeightResolver
+
+        entry: dict = {}
+        src = ref
+        if isinstance(ref, str) and ref.startswith("@"):
+            mid = ref[1:]
+            if mid not in self.model_entries:
+                raise KeyError(f"unknown model_id {mid!r}")
+            entry = self.model_entries[mid]
+            src = entry.get("model") or entry.get("source")
+            if not isinstance(src, str):
+                raise ValueError(f"model_id {mid!r} has no model reference")
+        if not hasattr(self, "_weight_resolver"):
+            self._weight_resolver = WeightResolver()
+        path = self._weight_resolver.resolve(
+            src, subfolder=entry.get("subfolder"),
+            allow_patterns=entry.get("allow_patterns"))
+        return read_state_dict(path), entry
+
     def hint_model(self, hint_type: str, engine_id: str | None = None):
         """Conditioning model for a hint type, matched to the engine's
-        unet architecture."""
+        unet architecture and the engine's configured hintset (reference
+        `hintset:` engine key)."""
         eid = engine_id or self.default_engine_id()
         ms = self._modelsets.get(eid)
         cfg = ms.config.unet if ms else None
-        return self.hintsets.for_type(hint_type, cfg)
+        hintset = None
+        try:
+            hintset = self.spec(eid).params.get("hintset") if eid else None
+        except EngineNotFoundError:
+            pass
+        return self.hintsets.for_type(hint_type, cfg, hintset=hintset)
 
     def suggest_max_batch(self, engine_id: str, height: int = 512,
                           width: int = 512) -> int:

@@ -233,10 +233,14 @@ class WeightResolver:
         out.append(Candidate("hf_download", repo, self.allow_network))
         return out
 
-    def resolve(self, ref: str, refresh: bool = False) -> str:
+    def resolve(self, ref: str, refresh: bool = False,
+                subfolder: str | None = None,
+                allow_patterns: str | list[str] | None = None) -> str:
         """First existing/fetchable candidate -> local path. refresh=True
         skips caches and re-downloads (reference forced re-download tier,
-        gyre/manager.py:1564-1600)."""
+        gyre/manager.py:1564-1600). subfolder/allow_patterns narrow an HF
+        repo to specific files (reference model-config keys,
+        gyre/config/models/t2i.yaml)."""
         chain = self.candidates(ref)
         if not refresh:
             for cand in chain:
@@ -244,23 +248,32 @@ class WeightResolver:
                                                  "hf_cache", "url_cache"):
                     logger.info("weights %s -> %s (%s)", ref, cand.path,
                                 cand.kind)
-                    return cand.path
+                    path = cand.path
+                    if subfolder and os.path.isdir(
+                            os.path.join(path, subfolder)):
+                        path = os.path.join(path, subfolder)
+                    return path
         for cand in chain:
             if cand.kind in ("civitai", "url", "hf_download") and \
                     cand.exists:
-                return self._download(ref, cand, force=refresh)
+                return self._download(ref, cand, force=refresh,
+                                      subfolder=subfolder,
+                                      allow_patterns=allow_patterns)
         raise FileNotFoundError(
             f"no weight candidates for {ref!r}; tried " +
             ", ".join(f"{c.kind}:{c.path}" for c in chain))
 
     # -------------------------------------------------------- downloads
 
-    def _download(self, ref: str, cand: Candidate, force: bool = False) -> str:
+    def _download(self, ref: str, cand: Candidate, force: bool = False,
+                  subfolder=None, allow_patterns=None) -> str:
         if not self.allow_network:
             raise FileNotFoundError(f"network disabled; cannot fetch {ref}")
         os.makedirs(self.download_cache, exist_ok=True)
         if cand.kind == "hf_download":
-            return self._hf_download(cand.path, force=force)
+            return self._hf_download(cand.path, force=force,
+                                     subfolder=subfolder,
+                                     allow_patterns=allow_patterns)
         if cand.kind == "civitai":
             return self._civitai_download(ref)
         # generic URL
@@ -269,14 +282,27 @@ class WeightResolver:
         logger.info("downloading %s -> %s", ref, dest)
         return self.fetch_file(cand.path, dest)
 
-    def _hf_download(self, repo: str, force: bool = False) -> str:
+    def _hf_download(self, repo: str, force: bool = False,
+                     subfolder=None, allow_patterns=None) -> str:
         """Repo file listing -> variant selection -> snapshot download
         (reference _get_hf_path heuristics, gyre/manager.py:684-896, and
         snapshot_download usage :1254-1294)."""
         info = self.fetch_json(HF_API.format(repo=repo))
         files = [s["rfilename"] for s in info.get("siblings", [])]
+        if subfolder:
+            files = [f for f in files
+                     if f.startswith(subfolder.rstrip("/") + "/")]
+        if allow_patterns:
+            import fnmatch
+            pats = [allow_patterns] if isinstance(allow_patterns, str) \
+                else list(allow_patterns)
+            files = [f for f in files
+                     if any(fnmatch.fnmatch(os.path.basename(f), p) or
+                            fnmatch.fnmatch(f, p) for p in pats)]
         if not files:
-            raise FileNotFoundError(f"HF repo {repo} lists no files")
+            raise FileNotFoundError(f"HF repo {repo} lists no files"
+                                    + (f" under {subfolder}/" if subfolder
+                                       else ""))
         dest_dir = os.path.join(self.download_cache, "hf",
                                 repo.replace("/", "--"))
         rev = self.hf_revision

@@ -678,6 +678,35 @@ def _find_weights(dirpath: str, names=("diffusion_pytorch_model.safetensors",
     return None
 
 
+def read_state_dict(path: str) -> dict:
+    """Checkpoint file or directory -> flat {key: np.ndarray}. Handles
+    safetensors and torch zip checkpoints (via the restricted unpickler);
+    directories search the usual diffusers/BasicSR file names."""
+    if os.path.isdir(path):
+        found = _find_weights(path)
+        if found is None:
+            for n in sorted(os.listdir(path)):
+                if n.endswith((".safetensors", ".pth", ".pt", ".ckpt",
+                               ".bin")):
+                    found = os.path.join(path, n)
+                    break
+        if found is None:
+            raise FileNotFoundError(f"no checkpoint files under {path}")
+        path = found
+    if path.endswith(".safetensors"):
+        return read_safetensors(path)
+    from ..utils.safe_unpickle import load_torch_checkpoint
+
+    with open(path, "rb") as fh:
+        state = load_torch_checkpoint(fh.read())
+    # unwrap the usual nesting ({'state_dict': ...}, {'params_ema': ...})
+    for wrap in ("state_dict", "params_ema", "params"):
+        if isinstance(state, dict) and wrap in state and \
+                isinstance(state[wrap], dict) and len(state[wrap]) > 1:
+            state = state[wrap]
+    return {k: v for k, v in state.items() if isinstance(v, np.ndarray)}
+
+
 def _read_json(path: str) -> dict | None:
     if os.path.exists(path):
         with open(path) as fh:

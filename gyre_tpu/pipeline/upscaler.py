@@ -85,8 +85,11 @@ class UpscalerPipeline:
 
 def build_esrgan_pipeline(weights_path: str | None = None, seed: int = 0,
                           num_blocks: int = 23, tile: int = 128,
-                          compute_dtype=jnp.float32) -> UpscalerPipeline:
-    if weights_path:
+                          compute_dtype=jnp.float32,
+                          state_dict: dict | None = None) -> UpscalerPipeline:
+    if state_dict is not None:
+        params = esrgan.load_params(state_dict, compute_dtype)
+    elif weights_path:
         from ..models.load import read_safetensors
 
         params = esrgan.load_params(read_safetensors(weights_path),

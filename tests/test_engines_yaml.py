@@ -153,9 +153,15 @@ def test_dist_config_loads():
     assert "stable-diffusion-v1-5" in ids
     assert "esrgan-x4" in ids
     assert any("hintset_id" in e for e in entries)
-    sd15 = next(e for e in entries if e["id"] == "stable-diffusion-v1-5")
+    # model registry: controlnet 1.1 zoo + t2i adapters present
+    model_ids = {e.get("model_id") for e in entries}
+    assert {"controlnet11-canny", "controlnet11-openpose",
+            "t2i-adapter-style", "coadapter-fuser",
+            "midas-dpt-large-384"} <= model_ids
+    sd15 = next(e for e in entries if e.get("id") == "stable-diffusion-v1-5")
     assert sd15["model"] == "preset/sd15"
     assert sd15["default"] is True
+    assert sd15["hintset"] == "hintset-sd15-common"
     assert all(not e.get("abstract") for e in entries)
 
 

@@ -141,3 +141,65 @@ def test_t2i_hint_in_pipeline(pipe, rng_key):
     out = np.asarray(pipe(hints=[{"params": ad_params, "image": cond,
                                   "kind": "t2i", "scale": 1.0}], **kw))
     assert np.abs(out - base).max() > 1e-4
+
+
+def test_hintset_reference_format(tmp_path):
+    """Reference hintsets.yaml semantics: '<family>/<type>' keys with
+    aliases/priority/'@model-id' refs, engine-bound hintset selection,
+    real checkpoint loading through the model registry."""
+    from gyre_tpu.manager.manager import EngineManager
+    from gyre_tpu.models.load import (export_controlnet_state,
+                                      write_safetensors)
+
+    # synthesize a published-layout controlnet checkpoint
+    cn = controlnet.init(jax.random.PRNGKey(1), configs.UNET_TEST)
+    path = tmp_path / "cn.safetensors"
+    write_safetensors(str(path), export_controlnet_state(cn,
+                                                         configs.UNET_TEST))
+
+    entries = [
+        {"id": "eng", "model": "preset/test", "default": True,
+         "hintset": "hs-a"},
+        {"model_id": "cn-canny", "model": str(path), "type": "controlnet"},
+        {"hintset_id": "hs-a",
+         "controlnet11/canny": {"aliases": ["controlnet/canny", "canny"],
+                                "priority": 210, "model": "@cn-canny"},
+         "t2i/sketch": {"aliases": ["sketch", "scribble"]}},
+        {"hintset_id": "hs-b",
+         "controlnet10/canny": {"aliases": "canny", "priority": 100}},
+    ]
+    m = EngineManager(entries, compute_dtype=jnp.float32, batch_max=2)
+    m.load_engines()
+
+    assert set(m.model_entries) == {"cn-canny"}
+    assert m.hintsets.set_ids() == ["hs-a", "hs-b"]
+
+    # engine 'eng' is bound to hs-a -> the @cn-canny weights load
+    hint = m.hint_model("canny", "eng")
+    assert hint["kind"] == "controlnet"
+    np.testing.assert_allclose(
+        np.asarray(hint["params"]["conv_in"]["w"], np.float32),
+        np.asarray(cn["conv_in"]["w"], np.float32), atol=1e-6)
+
+    # aliases route; t2i family infers kind
+    sk = m.hint_model("scribble", "eng")
+    assert sk["kind"] == "t2i"
+
+
+def test_hintset_priority_and_fallback():
+    from gyre_tpu.manager.hints import HintsetManager
+
+    hs = HintsetManager(
+        [{"hintset_id": "s",
+          "a/depth": {"aliases": "depth", "priority": 5},
+          "b/zoedepth": {"aliases": ["depth", "depth/zoe"],
+                         "priority": 25}}],
+        configs.UNET_TEST, compute_dtype=jnp.float32)
+    # highest priority wins for the shared alias
+    specs = [sp for sp in hs.specs if sp.matches("depth")]
+    specs.sort(key=lambda sp: -sp.priority)
+    assert specs[0].name == "b/zoedepth"
+    # unknown set falls back across all sets
+    out = hs.for_type("depth", hintset="nonexistent")
+    assert out["kind"] == "controlnet"
+    assert "depth" in hs.types_for("s")
