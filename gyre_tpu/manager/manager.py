@@ -487,10 +487,19 @@ class EngineManager:
 
         kind = spec.params.get("kind") or spec.task
         seed = int(spec.params.get("seed", 0))
-        if kind in ("depth",):
-            params = hinters.depth_init(_jax.random.PRNGKey(seed),
-                                        dtype=jnp.float32)
-            fn = _jax.jit(hinters.depth_apply)
+        if kind in ("depth", "midas", "dpt"):
+            from ..models import dpt
+
+            state = self.spec_state_dict(spec)
+            if state is not None:
+                params, cfg = dpt.load_dpt(state)
+                size = int(spec.params.get("size", cfg.grid * cfg.patch))
+            else:
+                cfg = dpt.DPT_TEST
+                params = dpt.init(_jax.random.PRNGKey(seed), cfg,
+                                  dtype=jnp.float32)
+                size = cfg.grid * cfg.patch
+            fn = _jax.jit(lambda p, x: dpt.estimate_depth(p, x, cfg, size))
 
             def run(img):
                 d = fn(params, jnp.asarray(img, jnp.float32))

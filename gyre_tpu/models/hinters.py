@@ -52,6 +52,9 @@ def _res_block(p, x, stride=1, groups=8):
 
 
 def depth_init(key, widths=(32, 64, 128, 256), dtype=jnp.float32) -> Params:
+    """Generic encoder-decoder response net. Real depth estimation now
+    lives in models/dpt.py (DPT/MiDaS with checkpoint loading); this stays
+    as the shared backbone for the saliency and segmentation hinters."""
     ks = iter(jax.random.split(key, 32))
     p: Params = {"stem": L.conv_init(next(ks), 3, 3, 3, widths[0], dtype),
                  "enc": [], "fuse": [], "refine": []}

@@ -381,9 +381,10 @@ class GenerationServiceServicer:
                 spec = self.manager.spec(p.engine_id)
             except KeyError:
                 spec = None
-            if spec is not None and spec.task in ("upscaler", "upscale",
-                                                  "face_restore",
-                                                  "codeformer"):
+            if spec is not None and spec.task in (
+                    "upscaler", "upscale", "face_restore", "codeformer",
+                    "depth", "hinter", "edge", "segmentation", "pose",
+                    "background_removal"):
                 if p.init_image is None:
                     raise ValueError(f"{spec.task} request needs an init "
                                      "image")

@@ -1,0 +1,182 @@
+"""DPT depth tests: numeric parity against transformers'
+DPTForDepthEstimation (the exact class the reference's diffusers depth
+pipeline wraps, gyre/pipeline/depth/diffusers_depth_pipeline.py:5-37),
+strict checkpoint-key accounting for both the HF and MiDaS layouts, and
+pipeline-level behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gyre_tpu.models import dpt
+
+
+def tiny_torch_dpt(seed=0):
+    torch = pytest.importorskip("torch")
+    from transformers import DPTConfig, DPTForDepthEstimation
+
+    torch.manual_seed(seed)
+    cfg = DPTConfig(
+        hidden_size=32, num_hidden_layers=4, num_attention_heads=2,
+        intermediate_size=64, image_size=64, patch_size=16,
+        backbone_out_indices=[0, 1, 2, 3],
+        neck_hidden_sizes=[16, 24, 32, 32], fusion_hidden_size=24,
+        readout_type="project", is_hybrid=False)
+    net = DPTForDepthEstimation(cfg).eval()
+    # random weights are near-zero inits for some convs; nudge them so the
+    # comparison exercises every path
+    with torch.no_grad():
+        for p in net.parameters():
+            if p.abs().max() < 1e-8:
+                p.add_(torch.randn_like(p) * 0.05)
+    return net
+
+
+def state_numpy(net):
+    return {k: v.detach().numpy() for k, v in net.state_dict().items()}
+
+
+def test_hf_layout_parity():
+    torch = pytest.importorskip("torch")
+    net = tiny_torch_dpt()
+    params, cfg = dpt.load_dpt(state_numpy(net))
+    assert cfg.hidden == 32 and cfg.layers == 4 and cfg.patch == 16
+    assert cfg.neck_ch == (16, 24, 32, 32) and cfg.fusion == 24
+    assert cfg.hooks == (0, 1, 2, 3) and cfg.grid == 4
+
+    x = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)
+    ours = np.asarray(dpt.apply(params, jnp.asarray(x), cfg))[..., 0]
+    with torch.no_grad():
+        theirs = net(torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).predicted_depth.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=3e-4, rtol=1e-3)
+
+
+def test_hf_layout_parity_non_native_size():
+    """Pos-embed grid interpolation: run at 96x80 when the checkpoint is
+    64-native."""
+    torch = pytest.importorskip("torch")
+    net = tiny_torch_dpt()
+    params, cfg = dpt.load_dpt(state_numpy(net))
+    x = np.random.RandomState(1).rand(1, 96, 96, 3).astype(np.float32)
+    ours = np.asarray(dpt.apply(params, jnp.asarray(x), cfg))[..., 0]
+    with torch.no_grad():
+        theirs = net(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                     interpolate_pos_encoding=True).predicted_depth.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=3e-4, rtol=1e-3)
+    # non-square inputs (HF's non-backbone path can't do these at all);
+    # even patch grids keep the aspect through the stride-2 reassemble
+    y = dpt.apply(params, jnp.asarray(
+        np.random.RandomState(2).rand(1, 96, 64, 3), jnp.float32), cfg)
+    assert y.shape == (1, 96, 64, 1) and np.isfinite(np.asarray(y)).all()
+
+
+def _to_midas_layout(state: dict) -> dict:
+    """Rename an HF-layout state dict into the MiDaS one (packed qkv,
+    act_postprocess/scratch naming, reversed refinenet numbering)."""
+    out = {}
+    qkv: dict = {}
+    for k, v in state.items():
+        if k.startswith("dpt.embeddings.cls_token"):
+            out["pretrained.model.cls_token"] = v
+        elif k.startswith("dpt.embeddings.position_embeddings"):
+            out["pretrained.model.pos_embed"] = v
+        elif k.startswith("dpt.embeddings.patch_embeddings.projection"):
+            out[k.replace("dpt.embeddings.patch_embeddings.projection",
+                          "pretrained.model.patch_embed.proj")] = v
+        elif k.startswith("dpt.encoder.layer."):
+            rest = k[len("dpt.encoder.layer."):]
+            i, sub = rest.split(".", 1)
+            p = f"pretrained.model.blocks.{i}"
+            if sub.startswith("attention.attention."):
+                which = sub.split(".")[2]  # query/key/value
+                kind = sub.rsplit(".", 1)[1]
+                qkv.setdefault((i, kind), {})[which] = v
+            elif sub.startswith("attention.output.dense"):
+                out[p + sub.replace("attention.output.dense",
+                                    ".attn.proj")] = v
+            elif sub.startswith("layernorm_before"):
+                out[p + sub.replace("layernorm_before", ".norm1")] = v
+            elif sub.startswith("layernorm_after"):
+                out[p + sub.replace("layernorm_after", ".norm2")] = v
+            elif sub.startswith("intermediate.dense"):
+                out[p + sub.replace("intermediate.dense", ".mlp.fc1")] = v
+            elif sub.startswith("output.dense"):
+                out[p + sub.replace("output.dense", ".mlp.fc2")] = v
+        elif k.startswith("dpt.layernorm"):
+            out[k.replace("dpt.layernorm", "pretrained.model.norm")] = v
+        elif k.startswith("neck.reassemble_stage.readout_projects."):
+            i = int(k.split(".")[3])
+            kind = k.rsplit(".", 1)[1]
+            out[f"pretrained.act_postprocess{i + 1}.0.project.0.{kind}"] = v
+        elif k.startswith("neck.reassemble_stage.layers."):
+            i = int(k.split(".")[3])
+            kind = k.rsplit(".", 1)[1]
+            which = k.split(".")[4]  # projection / resize
+            idx = 3 if which == "projection" else 4
+            out[f"pretrained.act_postprocess{i + 1}.{idx}.{kind}"] = v
+        elif k.startswith("neck.convs."):
+            i = int(k.split(".")[2])
+            out[f"scratch.layer{i + 1}_rn.weight"] = v
+        elif k.startswith("neck.fusion_stage.layers."):
+            i = int(k.split(".")[3])
+            sub = k.split(".", 4)[4]
+            p = f"scratch.refinenet{4 - i}"
+            sub = sub.replace("residual_layer1.convolution",
+                              "resConfUnit1.conv")
+            sub = sub.replace("residual_layer2.convolution",
+                              "resConfUnit2.conv")
+            sub = sub.replace("projection", "out_conv")
+            out[f"{p}.{sub}"] = v
+        elif k.startswith("head.head."):
+            out[k.replace("head.head", "scratch.output_conv")] = v
+        else:
+            raise AssertionError(f"unmapped key {k}")
+    for (i, kind), d in qkv.items():
+        out[f"pretrained.model.blocks.{i}.attn.qkv.{kind}"] = \
+            np.concatenate([d["query"], d["key"], d["value"]], axis=0)
+    return out
+
+
+def test_midas_layout_matches_hf():
+    net = tiny_torch_dpt()
+    hf_state = state_numpy(net)
+    midas_state = _to_midas_layout(hf_state)
+
+    p_hf, c_hf = dpt.load_dpt(hf_state)
+    p_mi, c_mi = dpt.load_dpt(midas_state)
+    assert c_hf == c_mi
+
+    x = jnp.asarray(np.random.RandomState(2).rand(1, 64, 64, 3),
+                    jnp.float32)
+    a = np.asarray(dpt.apply(p_hf, x, c_hf))
+    b = np.asarray(dpt.apply(p_mi, x, c_mi))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_strict_load_catches_unconsumed():
+    net = tiny_torch_dpt()
+    state = state_numpy(net)
+    state["neck.mystery.weight"] = np.zeros((3, 3), np.float32)
+    with pytest.raises(KeyError, match="unconsumed"):
+        dpt.load_dpt(state)
+
+
+def test_estimate_depth_pipeline():
+    params = dpt.init(jax.random.PRNGKey(0), dpt.DPT_TEST)
+    img = jax.random.uniform(jax.random.PRNGKey(1), (2, 100, 60, 3))
+    out = dpt.estimate_depth(params, img, dpt.DPT_TEST, size=64)
+    assert out.shape == (2, 100, 60, 1)
+    o = np.asarray(out)
+    assert o.min() >= 0.0 and o.max() <= 1.0 + 1e-6
+    assert np.isfinite(o).all()
+    assert o.std() > 0.01  # random init must still emit a varying map
+
+
+def test_full_size_config():
+    """Published DPT-Large shape: ViT-L/16, 24 layers, taps 5/11/17/23."""
+    assert dpt.DPT_LARGE.hidden == 1024
+    assert dpt.DPT_LARGE.layers == 24
+    assert dpt.DPT_LARGE.hooks == (5, 11, 17, 23)
+    assert dpt.DPT_LARGE.neck_ch == (256, 512, 1024, 1024)
