@@ -19,11 +19,17 @@ A100_BASELINE_IMG_PER_SEC = 1.0
 
 
 def _peak_hbm_gb():
+    """Allocator peak where exposed; on platforms that hide allocator
+    stats (the tunneled axon TPU) device_memory_stats falls back to
+    client-tracked live buffers — weights + persistent arrays, excluding
+    XLA temp workspace."""
     try:
         from gyre_tpu.utils.monitor import device_memory_stats
 
         stats = device_memory_stats()
         peak = max((s.get("peak_bytes_in_use") or 0) for s in stats)
+        if not peak:
+            peak = max((s.get("bytes_in_use") or 0) for s in stats)
         return round(peak / 1e9, 2)
     except Exception:  # noqa: BLE001
         return 0.0

@@ -548,6 +548,30 @@ class EngineManager:
             return run
         return None
 
+    def prewarm(self, engine_id: str | None = None, *, height: int = 512,
+                width: int = 512, steps: int = 50):
+        """Compile the default engine's serving StaticSpec ahead of the
+        first request (VERDICT: 128 s first-image cold starts). Runs one
+        1-sample generate at the default sampler/shape; with the
+        persistent compilation cache configured this also seeds the
+        on-disk cache for future processes."""
+        import time as _time
+
+        import numpy as _np
+
+        eid = engine_id or self.default_engine_id()
+        if eid is None:
+            return
+        spec = self.spec(eid)
+        sampler = (spec.options or {}).get("sampler", "k_dpmpp_2m")
+        t0 = _time.time()
+        pipe = self.pipeline(eid)
+        _np.asarray(pipe(prompt="prewarm", height=height, width=width,
+                         steps=steps, sampler=sampler, seeds=[0],
+                         guidance_scale=7.5))
+        logger.info("prewarm %s (%dx%d steps=%d %s) in %.1fs", eid,
+                    width, height, steps, sampler, _time.time() - t0)
+
     def safety_checker(self):
         """Trained NSFW checker from config, or None. Sources, in order: a
         spec with task 'safety', or a 'safety_checker:' key on any engine

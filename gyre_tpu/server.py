@@ -69,6 +69,10 @@ def parse_args(argv=None):
                      help="tensor-parallel width of the device mesh")
     tpu.add_argument("--dtype", type=str, default="bfloat16",
                      choices=["bfloat16", "float32"])
+    tpu.add_argument("--prewarm", type=str, default=os.environ.get(
+        "SD_PREWARM", "auto"), choices=["auto", "on", "off"],
+        help="compile the default engine's serving program in the "
+             "background after startup (auto = TPU only)")
 
     res = p.add_argument_group("resources")
     res.add_argument("--cache_path", type=str,
@@ -146,6 +150,21 @@ def resolve_enginecfg(path: str) -> str:
             except Exception as e:  # noqa: BLE001
                 logger.warning("dist config update failed: %s", e)
     return path
+
+
+def configure_jax_caches(cache_path: str):
+    """Persistent XLA compilation cache, split per platform (cross-profile
+    executable deserialization is unreliable — see tests/conftest.py)."""
+    try:
+        import jax
+
+        platform = jax.default_backend()
+        cache_dir = os.path.join(cache_path or "/tmp/gyre-cache",
+                                 f"xla-cache-{platform}")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # noqa: BLE001
+        logger.warning("compilation cache setup failed: %s", e)
 
 
 def build_manager(args):
@@ -251,6 +270,7 @@ def main(argv=None):
     recorder = (DebugRecorder(os.path.join(args.cache_path, "debug"))
                 if args.debug_recording else DebugNullRecorder())
     monitor = ResourceMonitor().start()
+    configure_jax_caches(args.cache_path)
 
     t0 = time.time()
     manager = build_manager(args)
@@ -312,6 +332,24 @@ def main(argv=None):
     monitor.log("engines loaded")
     logger.info("engines ready in %.1fs: %s", time.time() - t0,
                 ", ".join(manager.engine_ids))
+
+    prewarm = args.prewarm
+    if prewarm == "auto":
+        try:
+            import jax
+
+            prewarm = "on" if jax.default_backend() == "tpu" else "off"
+        except Exception:  # noqa: BLE001
+            prewarm = "off"
+    if prewarm == "on":
+        def _prewarm():
+            try:
+                manager.prewarm()
+            except Exception as e:  # noqa: BLE001
+                logger.warning("prewarm failed: %s", e)
+
+        threading.Thread(target=_prewarm, daemon=True,
+                         name="prewarm").start()
 
     stop = threading.Event()
 

@@ -20,16 +20,42 @@ def host_rss_bytes() -> int:
         return 0
 
 
-def device_memory_stats() -> list[dict]:
-    """Per-device HBM usage from the PJRT allocator (if exposed)."""
+def _live_buffer_bytes() -> dict:
+    """Client-tracked HBM per device from live jax arrays — the fallback
+    when the PJRT allocator hides memory_stats() (the tunneled 'axon'
+    platform returns None). Excludes XLA temp workspace; programs add
+    their own temp via compiled.memory_analysis() at the call sites that
+    care (bench.py)."""
     import jax
 
+    per: dict = {}
+    try:
+        for a in jax.live_arrays():
+            for shard in getattr(a, "addressable_shards", []) or []:
+                dev = str(shard.device)
+                per[dev] = per.get(dev, 0) + shard.data.nbytes / \
+                    max(1, len(a.sharding.device_set))
+    except Exception:  # noqa: BLE001
+        pass
+    return per
+
+
+def device_memory_stats() -> list[dict]:
+    """Per-device HBM usage from the PJRT allocator, with a live-buffer
+    fallback where the allocator stats are unavailable."""
+    import jax
+
+    live = None
     out = []
     for d in jax.devices():
         try:
             stats = d.memory_stats() or {}
         except Exception:  # noqa: BLE001
             stats = {}
+        if not stats:
+            if live is None:
+                live = _live_buffer_bytes()
+            stats = {"bytes_in_use": int(live.get(str(d), 0))}
         out.append({
             "device": str(d),
             "bytes_in_use": stats.get("bytes_in_use", 0),
