@@ -69,12 +69,29 @@ def _attn_init(key, dim, ctx_dim, dtype):
 
 
 def _attn(p, x, ctx, heads):
-    """x: [B, T, C]; ctx: [B, S, Cc] (or x for self-attention)."""
+    """x: [B, T, C]; ctx: [B, S, Cc] (or x for self-attention).
+
+    Q/K/V projections are fused into one matmul (self) or a KV pair
+    (cross): wider N keeps the MXU tiles full (320 -> 960 output columns)
+    and XLA hoists the loop-invariant weight concat out of the denoise
+    scan. Weights stay separate in the params tree so LoRA targeting and
+    checkpoint export are unaffected."""
     b, t, c = x.shape
     d = c // heads
-    q = L.linear(p["q"], x).reshape(b, t, heads, d)
-    k = L.linear(p["k"], ctx).reshape(b, ctx.shape[1], heads, d)
-    v = L.linear(p["v"], ctx).reshape(b, ctx.shape[1], heads, d)
+    if ctx is x:
+        w = jnp.concatenate([p["q"]["w"], p["k"]["w"], p["v"]["w"]],
+                            axis=1).astype(x.dtype)
+        qkv = jnp.dot(x, w, preferred_element_type=x.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        wkv = jnp.concatenate([p["k"]["w"], p["v"]["w"]],
+                              axis=1).astype(ctx.dtype)
+        kv = jnp.dot(ctx, wkv, preferred_element_type=ctx.dtype)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q = L.linear(p["q"], x)
+    q = q.reshape(b, t, heads, d)
+    k = k.reshape(b, ctx.shape[1], heads, d)
+    v = v.reshape(b, ctx.shape[1], heads, d)
     o = L.attention(q, k, v).reshape(b, t, c)
     return L.linear(p["out"], o)
 

@@ -51,7 +51,8 @@ class StaticSpec:
     graft_cfg: object = None     # top model's UNetConfig (hashable)
     graft_prediction: str = "epsilon"
     clip_guidance: float = 0.0   # CLIP-gradient steering scale
-    clip_cutouts: int = 4
+    clip_cfg: object = None      # ClipGuidanceConfig (frozen, hashable)
+    clip_flat: bool = False      # flat-loss schedule tripped: stop guiding
     noise_type: str = "normal"   # normal | brownian
     tome_ratio: float = 0.0      # token-merging fraction (0 = off)
     resume: bool = False         # chunked dispatch: x carried in, no init
@@ -278,7 +279,7 @@ class UnifiedPipeline:
                  init_latents, mask_keep, extra_channels,
                  eta=0.0, churn=0.0, churn_tmin=0.0, churn_tmax=0.0,
                  controlnets=(), adapter_states=None, graft=None,
-                 clip_vision=None, clip_target=None,
+                 clip_vision=None, clip_target=None, vae_params=None,
                  added_u=None, added_g=None, x_resume=None,
                  step_offset=0, carry_in=None):
             # eta/churn knobs are traced scalars: sweeping them never
@@ -361,14 +362,31 @@ class UnifiedPipeline:
                     sigmas[0], jnp.maximum(sigmas[-2], 1e-3))
                 dn_base = gwrap(dn_base, dn_top, progress)
 
+            dn_unguided = dn_base
+            clip_vae_decode = None
+            ccfg = spec.clip_cfg
             if spec.clip_guidance > 0 and clip_vision is not None:
                 from . import clip_guidance as cg
 
-                dn_base = cg.make_clip_guided_denoiser(
-                    dn_base, clip_vision, self._clip_vision_cfg,
-                    clip_target, keys,
-                    guidance_scale=spec.clip_guidance,
-                    num_cutouts=spec.clip_cutouts)
+                if ccfg is None:
+                    ccfg = cg.ClipGuidanceConfig(
+                        guidance_scale=spec.clip_guidance)
+                if ((ccfg.vae_cutouts or ccfg.no_cutouts == "vae") and
+                        vae_params is not None):
+                    def clip_vae_decode(z):
+                        return vae_mod.decode(
+                            vae_params, self.ms.config.vae,
+                            z.astype(cdt)).astype(jnp.float32)
+                cond_stem = None
+                if spec.guided and ccfg.guidance_base == "guided":
+                    cond_model = denoiser.plain_model(
+                        model_fn, ctx_g, **(extra_g or {}))
+                    cond_stem = denoiser.make_denoiser(cond_model, schedule)
+                if not spec.clip_flat:
+                    dn_base = cg.make_clip_guided_denoiser(
+                        dn_base, clip_vision, self._clip_vision_cfg,
+                        clip_target, keys, config=ccfg,
+                        cond_stem=cond_stem, vae_decode=clip_vae_decode)
 
             dn = dn_base
 
@@ -413,7 +431,7 @@ class UnifiedPipeline:
                 _, x0 = unpack(x0)
                 if final_blend is not None:
                     x0 = final_blend(x0)
-                return x0, ()
+                return x0, (), {}
 
             if spec.resume:
                 # chunked dispatch: continue from carried sigma-space state
@@ -430,9 +448,24 @@ class UnifiedPipeline:
                 spec.sampler, dn, x, sigmas, noise_fn, p,
                 start=step_offset, steps=spec.steps, carry=carry_in,
                 return_carry=True)
+            aux = {}
+            if (spec.clip_guidance > 0 and clip_vision is not None and
+                    not spec.clip_flat and not spec.final_chunk):
+                # flat-loss schedule input: one unguided loss evaluation
+                # per dispatch chunk (reference records per-step on the
+                # host, clipguided.py:152-173 — here the history is
+                # per-chunk, checked between chunks)
+                from . import clip_guidance as cg
+
+                sigma_end = jnp.maximum(
+                    sigmas[step_offset + spec.steps], 1e-4)
+                x0_est = dn_unguided(x0, sigma_end)
+                aux["clip_loss"] = cg.guidance_loss(
+                    x0_est, keys, clip_vision, self._clip_vision_cfg,
+                    clip_target, ccfg, vae_decode=clip_vae_decode)
             if spec.final_chunk and final_blend is not None:
                 x0 = final_blend(x0)
-            return x0, carry_out
+            return x0, carry_out, aux
 
         return core
 
@@ -471,6 +504,7 @@ class UnifiedPipeline:
                  hires_oos_fraction: float = 0.25,
                  clip_guidance_scale: float = 0.0,
                  clip_cutouts: int = 4,
+                 clip_guidance_options: dict | None = None,
                  clip_layer: int = 0,
                  noise_type: str = "normal",
                  tome_ratio: float = 0.0,
@@ -709,6 +743,21 @@ class UnifiedPipeline:
             graft_cfg = gp.ms.config.unet
             graft_pred = gp.ms.schedule.prediction_type
 
+        clip_cfg_obj = None
+        if clip_guidance_scale > 0:
+            from . import clip_guidance as cgmod
+
+            copts = dict(clip_guidance_options or {})
+            if not {"approx_cutouts", "vae_cutouts",
+                    "no_cutouts"} & set(copts):
+                # legacy clip_cutouts count split across the two cutout
+                # families (reference defaults: 2 vae + 2 approx)
+                copts["approx_cutouts"] = int(clip_cutouts) // 2
+                copts["vae_cutouts"] = (int(clip_cutouts) -
+                                        int(clip_cutouts) // 2)
+            clip_cfg_obj = cgmod.ClipGuidanceConfig(
+                guidance_scale=float(clip_guidance_scale), **copts)
+
         spec = StaticSpec(
             batch=batch, height=lh, width=lw, sampler=sampler,
             steps=len(sigmas_np) - 1, mode=mode, guided=guided,
@@ -719,7 +768,7 @@ class UnifiedPipeline:
             graft_cfg=graft_cfg,
             graft_prediction=graft_pred,
             clip_guidance=float(clip_guidance_scale),
-            clip_cutouts=int(clip_cutouts),
+            clip_cfg=clip_cfg_obj,
             noise_type=noise_type,
             tome_ratio=float(tome_ratio),
             cfg_parallel=not cfg_sequential)
@@ -763,6 +812,9 @@ class UnifiedPipeline:
             graft=graft_args,
             clip_vision=clip_vision_params,
             clip_target=clip_target,
+            vae_params=(self.ms.vae_params if clip_cfg_obj is not None and
+                        (clip_cfg_obj.vae_cutouts or
+                         clip_cfg_obj.no_cutouts == "vae") else None),
             added_u=added_u, added_g=added_g)
         core_args = (self.ms.unet_params, keys, ctx_u, ctx_g, gs_arg,
                      init_latents, mask_keep,
@@ -792,25 +844,40 @@ class UnifiedPipeline:
             carry = samplers.init_carry(
                 sampler, jnp.zeros((batch, lh, lw, 4), jnp.float32))
             done = 0
+            clip_losses: list[float] = []
+            clip_flat = False
             while done < n_steps:
                 seg = min(chunk_steps, n_steps - done)
                 spec_i = dc.replace(spec, steps=seg, resume=done > 0,
-                                    final_chunk=done + seg >= n_steps)
+                                    final_chunk=done + seg >= n_steps,
+                                    clip_flat=clip_flat)
                 up, ks, cu, cg, ga, il, mk, ex = core_args
-                x0, carry = self.core(spec_i)(
+                x0, carry, aux = self.core(spec_i)(
                     up, sigmas, ks, cu, cg, ga, il, mk, ex,
                     x_resume=x0 if x0 is not None
                     else jnp.zeros((batch, lh, lw, 4), jnp.float32),
                     step_offset=done, carry_in=carry, **core_kwargs)
                 done += seg
+                if "clip_loss" in aux and clip_cfg_obj is not None:
+                    # flat-loss schedule (reference clipguided.py:152-173),
+                    # adapted to one loss sample per chunk: window spans
+                    # ~gradient_length steps' worth of chunks
+                    clip_losses.append(
+                        float(aux["clip_loss"]) / spec.batch)
+                    window = max(
+                        2, -(-clip_cfg_obj.gradient_length
+                             // max(chunk_steps, 1)) + 1)
+                    clip_flat = clip_flat or cgmod.flatloss_check(
+                        clip_losses, clip_cfg_obj,
+                        samples_per_window=window)
                 if progress_callback is not None:
                     progress_callback(done, n_steps)
                 if stop_event is not None and stop_event.is_set():
                     return None
         else:
             up, ks, cu, cg, ga, il, mk, ex = core_args
-            x0, _ = self.core(spec)(up, sigmas, ks, cu, cg, ga, il, mk, ex,
-                                    **core_kwargs)
+            x0, _, _ = self.core(spec)(up, sigmas, ks, cu, cg, ga, il,
+                                       mk, ex, **core_kwargs)
             if progress_callback is not None:
                 progress_callback(n_steps, n_steps)
 

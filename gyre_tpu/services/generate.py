@@ -66,6 +66,7 @@ class ExtractedParams:
     hires_fix: bool | None = None
     hires_oos_fraction: float = 0.25
     clip_guidance_scale: float = 0.0
+    clip_guidance_options: dict | None = None
     cfg_sequential: bool = False
     tome_ratio: float = 0.0
     tiling: bool | str = False
@@ -371,6 +372,17 @@ class GenerationServiceServicer:
             p.hires_fix = bool(opts["hires_fix"])
         if p.clip_guidance_scale == 0 and "clip_guidance_scale" in opts:
             p.clip_guidance_scale = float(opts["clip_guidance_scale"])
+        if "clip" in opts and isinstance(opts["clip"], dict):
+            # engine-level ClipGuidanceConfig fields (reference set_options
+            # clip params, gyre/pipeline/unified_pipeline.py:1538-1629):
+            # guidance_base, vae/approx_cutouts, no_cutouts,
+            # gradient_length/threshold/maxloss
+            copts = dict(opts["clip"])
+            if (p.clip_guidance_scale == 0 and
+                    copts.get("guidance_scale")):
+                p.clip_guidance_scale = float(copts["guidance_scale"])
+            copts.pop("guidance_scale", None)
+            p.clip_guidance_options = copts
         p.cfg_sequential = bool(opts.get("cfg_sequential", False))
         p.tome_ratio = float(opts.get("tome_ratio", 0.0))
 
@@ -464,6 +476,7 @@ class GenerationServiceServicer:
                     hires_fix=p.hires_fix,
                     hires_oos_fraction=p.hires_oos_fraction,
                     clip_guidance_scale=p.clip_guidance_scale,
+                    clip_guidance_options=p.clip_guidance_options,
                     clip_layer=p.clip_layer,
                     noise_type=p.noise_type,
                     cfg_sequential=p.cfg_sequential,

@@ -26,11 +26,20 @@ BF = jnp.bfloat16
 
 
 def timeit(fn, *args, n=20):
-    np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])  # compile+warm
+    # Sync on a scalar reduction: pulling the full output over the
+    # tunneled (axon) platform costs seconds per 100MB and swamps the
+    # compute time; block_until_ready is likewise unreliable there.
+    def summed(*a):
+        out = fn(*a)
+        return sum(jnp.sum(jnp.asarray(x, jnp.float32))
+                   for x in jax.tree_util.tree_leaves(out))
+
+    g = jax.jit(summed)
+    np.asarray(g(*args))  # compile+warm
     t0 = time.perf_counter()
     for _ in range(n):
-        out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])
+        out = g(*args)
+    np.asarray(out)
     return (time.perf_counter() - t0) / n * 1000  # ms
 
 

@@ -58,3 +58,39 @@ def test_safety_checker():
     imgs = np.random.RandomState(0).rand(3, 48, 48, 3).astype(np.float32)
     flags = checker.check(imgs)
     assert flags.shape == (3,) and flags.dtype == bool
+
+
+def test_clip_guidance_option_variants():
+    """Reference ClipGuidanceConfig surface (clipguided.py:27-35):
+    vae/approx cutout mixes, whole-image no_cutouts modes, and the mixed
+    guidance base must all produce finite, guidance-shifted outputs."""
+    ms = random_modelset(configs.SD_TEST, seed=0, dtype=jnp.float32)
+    pipe = UnifiedPipeline(ms, compute_dtype=jnp.float32)
+    kw = dict(prompt="a photo", height=64, width=64, steps=2,
+              sampler="k_euler", seeds=[1], guidance_scale=7.5)
+    base = np.asarray(pipe(**kw))
+    for opts in [
+        {"vae_cutouts": 1, "approx_cutouts": 1},
+        {"vae_cutouts": 0, "approx_cutouts": 0, "no_cutouts": "approx"},
+        {"vae_cutouts": 0, "approx_cutouts": 0, "no_cutouts": "vae"},
+        {"vae_cutouts": 0, "approx_cutouts": 2, "guidance_base": "mixed"},
+    ]:
+        out = np.asarray(pipe(clip_guidance_scale=0.3,
+                              clip_guidance_options=opts, **kw))
+        assert np.isfinite(out).all(), opts
+        assert np.abs(out - base).max() > 1e-6, opts
+
+
+def test_flatloss_check():
+    """The flat-loss stop rule (reference _has_flatloss,
+    clipguided.py:152-173): flat low losses trip it, falling or high
+    losses don't, short histories never do."""
+    cfg = cg.ClipGuidanceConfig(gradient_length=5, gradient_threshold=0.01,
+                                gradient_maxloss=1.0)
+    assert not cg.flatloss_check([0.5, 0.5], cfg)          # too short
+    assert cg.flatloss_check([0.5] * 10, cfg)              # flat + low
+    assert not cg.flatloss_check(list(np.linspace(2.0, 1.0, 10)),
+                                 cfg)                      # still falling
+    assert not cg.flatloss_check([2.0] * 10, cfg)          # flat but high
+    assert cg.flatloss_check([0.9] * 4, cfg,
+                             samples_per_window=2)         # chunk window
