@@ -372,6 +372,20 @@ class EngineManager:
     def _build_task_pipeline(self, spec, key):
         if key not in self._adapted:
             if spec.task == "upscaler" and \
+                    spec.params.get("kind") in ("sd-x2", "latent-x2", "x2"):
+                # 2x latent diffusion upscaler (reference
+                # config/engines/upscaler.yaml latent-upscaler-x2 via
+                # StableDiffusionLatentUpscalePipeline)
+                from ..pipeline.diffusion_upscaler import LatentUpscalerX2
+
+                up_spec = EngineSpec(
+                    id=spec.id, model=spec.model or "preset/upscaler-x2",
+                    task="generate")
+                ms = self._build_modelset(up_spec)
+                up = LatentUpscalerX2(ms, compute_dtype=self.compute_dtype)
+                steps = int(spec.params.get("steps", 30))
+                self._adapted[key] = lambda img, _u=up: _u(img, steps=steps)
+            elif spec.task == "upscaler" and \
                     spec.params.get("kind") in ("sd-x4", "diffusion",
                                                 "latent"):
                 # text-guided latent diffusion upscaler engine (reference

@@ -34,6 +34,9 @@ class UNetConfig:
     addition_time_ids: int = 0       # number of time_ids (6 for SDXL base)
     # class conditioning (SD-x4 upscaler's noise-level embedding)
     class_embed: bool = False
+    # FiLM-style time conditioning (diffusers resnet_time_scale_shift=
+    # "scale_shift"; the sd-x2 latent upscaler's k-blocks)
+    time_scale_shift: bool = False
 
     @property
     def levels(self) -> int:

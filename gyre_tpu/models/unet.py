@@ -28,7 +28,7 @@ Params = dict
 # ------------------------------------------------------------------- resnet
 
 
-def _resnet_init(key, c_in, c_out, temb_dim, dtype):
+def _resnet_init(key, c_in, c_out, temb_dim, dtype, scale_shift=False):
     ks = jax.random.split(key, 4)
     p = {
         "norm1": L.norm_init(c_in, dtype),
@@ -37,7 +37,8 @@ def _resnet_init(key, c_in, c_out, temb_dim, dtype):
         "conv2": L.conv_init(ks[1], 3, 3, c_out, c_out, dtype),
     }
     if temb_dim:
-        p["time_emb"] = L.linear_init(ks[2], temb_dim, c_out, dtype)
+        p["time_emb"] = L.linear_init(
+            ks[2], temb_dim, c_out * (2 if scale_shift else 1), dtype)
     if c_in != c_out:
         p["shortcut"] = L.conv_init(ks[3], 1, 1, c_in, c_out, dtype)
     return p
@@ -46,9 +47,22 @@ def _resnet_init(key, c_in, c_out, temb_dim, dtype):
 def _resnet(p, x, temb, groups, tiling=(False, False)):
     h = L.silu(L.group_norm(p["norm1"], x, groups))
     h = L.conv2d_tiled(p["conv1"], h, tiling_x=tiling[0], tiling_y=tiling[1])
+    te = None
     if temb is not None and "time_emb" in p:
-        h = h + L.linear(p["time_emb"], L.silu(temb))[:, None, None, :]
-    h = L.silu(L.group_norm(p["norm2"], h, groups))
+        te = L.linear(p["time_emb"], L.silu(temb))
+    if te is not None and te.shape[-1] == 2 * h.shape[-1]:
+        # diffusers resnet_time_scale_shift="scale_shift" (FiLM-style
+        # modulation; the sd-x2 latent upscaler's k-upscaler blocks use
+        # this instead of additive time conditioning) — detected from the
+        # time_emb_proj weight shape, which is static at trace time
+        scale, shift = jnp.split(te, 2, axis=-1)
+        h = L.group_norm(p["norm2"], h, groups)
+        h = h * (1.0 + scale[:, None, None, :]) + shift[:, None, None, :]
+        h = L.silu(h)
+    else:
+        if te is not None:
+            h = h + te[:, None, None, :]
+        h = L.silu(L.group_norm(p["norm2"], h, groups))
     h = L.conv2d_tiled(p["conv2"], h, tiling_x=tiling[0], tiling_y=tiling[1])
     if "shortcut" in p:
         x = L.conv2d(p["shortcut"], x)
@@ -198,7 +212,7 @@ def init(key, cfg: UNetConfig, dtype=jnp.float32) -> Params:
         for i in range(cfg.layers_per_block):
             blk["resnets"].append(
                 _resnet_init(next(keys), c_prev if i == 0 else c_out, c_out,
-                             ted, dtype))
+                             ted, dtype, cfg.time_scale_shift))
             if cfg.attn_levels[lvl]:
                 blk["attns"].append(_transformer_init(
                     next(keys), c_out, cfg.cross_attention_dim,
@@ -212,8 +226,10 @@ def init(key, cfg: UNetConfig, dtype=jnp.float32) -> Params:
 
     c_mid = cfg.block_out_channels[-1]
     p["mid"] = {
-        "res1": _resnet_init(next(keys), c_mid, c_mid, ted, dtype),
-        "res2": _resnet_init(next(keys), c_mid, c_mid, ted, dtype),
+        "res1": _resnet_init(next(keys), c_mid, c_mid, ted, dtype,
+                             cfg.time_scale_shift),
+        "res2": _resnet_init(next(keys), c_mid, c_mid, ted, dtype,
+                             cfg.time_scale_shift),
     }
     if cfg.mid_attn:
         p["mid"]["attn"] = _transformer_init(
@@ -232,7 +248,9 @@ def init(key, cfg: UNetConfig, dtype=jnp.float32) -> Params:
             # skip channels: innermost skips first, outermost last
             res_skip = c_skip_base if j == cfg.layers_per_block else c_out
             res_in = (c_prev_blk if j == 0 else c_out) + res_skip
-            blk["resnets"].append(_resnet_init(next(keys), res_in, c_out, ted, dtype))
+            blk["resnets"].append(_resnet_init(next(keys), res_in, c_out,
+                                               ted, dtype,
+                                               cfg.time_scale_shift))
             if cfg.attn_levels[lvl]:
                 blk["attns"].append(_transformer_init(
                     next(keys), c_out, cfg.cross_attention_dim,

@@ -137,3 +137,133 @@ class DiffusionUpscaler:
             return jnp.clip(out.astype(jnp.float32) * 0.5 + 0.5, 0, 1)
 
         return run(keys, sigmas)
+
+
+# ------------------------------------------------------------- x2 latent
+
+# The sd-x2 latent upscaler (reference serves it via diffusers'
+# StableDiffusionLatentUpscalePipeline, config/engines/upscaler.yaml:6-15):
+# a k-upscaler-style UNet that denoises 2x-resolution latents conditioned
+# on the nearest-upsampled source latents (8 input channels) with
+# c_noise = 0.25*ln(sigma) continuous noise conditioning and FiLM
+# ("scale_shift") time modulation. Default dims are a best-effort match of
+# the published checkpoint family; at load time the config is re-derived
+# from the checkpoint's tensor shapes (models/load.derive_modelset_config),
+# so real weights dictate the architecture.
+UNET_X2 = configs.UNetConfig(
+    in_channels=8,
+    out_channels=4,
+    block_out_channels=(256, 512, 1024, 1024),
+    attn_levels=(False, True, True, True),
+    transformer_layers=(0, 1, 1, 1),
+    num_heads=(4, 8, 16, 16),
+    cross_attention_dim=768,
+    time_scale_shift=True,
+)
+X2_CONFIG = configs.ModelSetConfig(
+    unet=UNET_X2, text_encoders=(configs.CLIP_VIT_L,), sample_size=128)
+X2_TEST_CONFIG = configs.ModelSetConfig(
+    unet=dataclasses.replace(
+        UNET_X2, block_out_channels=(16, 32), attn_levels=(False, True),
+        transformer_layers=(0, 1), num_heads=(4, 4),
+        cross_attention_dim=64, time_embed_dim=64, norm_groups=8),
+    vae=configs.VAEConfig(block_out_channels=(16, 32, 64, 64),
+                          norm_groups=8),
+    text_encoders=(configs.CLIP_TEST,), sample_size=16)
+
+configs.PRESETS["upscaler-x2"] = X2_CONFIG
+configs.PRESETS["upscaler-x2-test"] = X2_TEST_CONFIG
+
+
+class LatentUpscalerX2:
+    """Text-guided 2x latent upscaler (k-upscaler conditioning)."""
+
+    def __init__(self, modelset: ModelSet, compute_dtype=jnp.float32):
+        self.ms = modelset
+        self.compute_dtype = compute_dtype
+
+    @classmethod
+    def random(cls, test: bool = True, seed: int = 0,
+               compute_dtype=jnp.float32):
+        cfg = X2_TEST_CONFIG if test else X2_CONFIG
+        return cls(random_modelset(cfg, seed=seed, dtype=compute_dtype,
+                                   engine_id="upscaler-x2"),
+                   compute_dtype=compute_dtype)
+
+    def __call__(self, image, *, prompt: str = "", steps: int = 30,
+                 seeds=None, guidance_scale: float = 7.5,
+                 sampler: str = "k_euler"):
+        """image [B,H,W,3] 0..1 -> [B,2H,2W,3] (via 2x latent diffusion)."""
+        from ..models import clip as clip_mod
+        from ..models import unet as unet_mod
+        from ..models import vae as vae_mod
+
+        ms = self.ms
+        img = jnp.asarray(image, jnp.float32)
+        b = img.shape[0]
+        seeds = seeds if seeds is not None else list(range(b))
+        keys = rngu.keys_for_seeds(np.asarray(seeds, np.uint32))
+        cdt = self.compute_dtype
+        sf = ms.config.vae.scaling_factor
+
+        ids, _, _ = prompts.tokenize_weighted(
+            ms.tokenizer, prompts.WeightedPrompt.parse(prompt or ""))
+        te_cfg = ms.config.text_encoders[0]
+        ctx_g = jnp.tile(clip_mod.apply(
+            ms.text_params[0], te_cfg, jnp.asarray(ids[:1]))["last"],
+            (b, 1, 1))
+        uids, _, _ = prompts.tokenize_weighted(
+            ms.tokenizer, prompts.WeightedPrompt.parse(""))
+        ctx_u = jnp.tile(clip_mod.apply(
+            ms.text_params[0], te_cfg, jnp.asarray(uids[:1]))["last"],
+            (b, 1, 1))
+
+        sigmas = jnp.asarray(
+            sched.build_sigmas(ms.schedule, steps, karras_rho=7.0),
+            jnp.float32)
+
+        @jax.jit
+        def run(keys, sigmas, img, ctx_u, ctx_g, gs):
+            mean, _ = vae_mod.encode(ms.vae_params, ms.config.vae,
+                                     (img * 2 - 1).astype(cdt))
+            lat = mean.astype(jnp.float32) * sf
+            bb, h, w, c = lat.shape
+            cond = jax.image.resize(lat, (bb, h * 2, w * 2, c), "nearest")
+
+            def model_fn(x, t, context, **kw):
+                reps = x.shape[0] // cond.shape[0]
+                cc = jnp.tile(cond, (reps, 1, 1, 1)).astype(cdt)
+                x8 = jnp.concatenate([x.astype(cdt), cc], axis=-1)
+                # k-upscaler continuous noise conditioning: the timestep
+                # input IS c_noise = 0.25*ln(sigma) (already applied by
+                # the denoiser's sigma->t map below)
+                out = unet_mod.apply(ms.unet_params, ms.config.unet, x8,
+                                     t, context.astype(cdt))
+                return out.astype(jnp.float32)
+
+            model = denoiser.cfg_model(model_fn, ctx_u, ctx_g, gs)
+
+            def dn(x, sigma):
+                # epsilon-pred in sigma space with c_noise conditioning
+                sig = jnp.asarray(sigma, jnp.float32)
+                c_in = 1.0 / jnp.sqrt(sig ** 2 + 1.0)
+                t = jnp.full((x.shape[0],), 0.0, jnp.float32) + \
+                    0.25 * jnp.log(jnp.maximum(sig, 1e-8)) * 1000.0
+                eps = model(x * c_in, t)
+                return x - sig * eps
+
+            shape = (h * 2, w * 2, c)
+            x = rngu.batched_stream_normal(keys, "init", 0, shape) * \
+                sigmas[0]
+
+            def noise_fn(i, tag):
+                return rngu.batched_stream_normal(keys, tag, i, shape)
+
+            x0 = samplers.sample(sampler, dn, x, sigmas, noise_fn,
+                                 samplers.SamplerParams())
+            out = vae_mod.decode(ms.vae_params, ms.config.vae,
+                                 (x0 / sf).astype(cdt))
+            return jnp.clip(out.astype(jnp.float32) * 0.5 + 0.5, 0, 1)
+
+        return run(keys, sigmas, img, ctx_u, ctx_g,
+                   jnp.float32(guidance_scale))

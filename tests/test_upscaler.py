@@ -145,3 +145,35 @@ def test_manager_loads_real_swinir_checkpoint(tmp_path):
     out = up(img)
     assert out.shape == (1, 80, 96, 3)
     assert np.isfinite(out).all()
+
+
+def test_latent_upscaler_x2():
+    """sd-x2-style latent upscaler: 8ch k-upscaler unet (scale_shift time
+    modulation, c_noise=0.25*ln(sigma)), 2x latent diffusion (reference
+    latent-upscaler-x2 engine, config/engines/upscaler.yaml:6-15)."""
+    from gyre_tpu.pipeline.diffusion_upscaler import LatentUpscalerX2
+
+    up = LatentUpscalerX2.random(test=True)
+    img = np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32)
+    out = np.asarray(up(img, prompt="sharp photo", steps=2, seeds=[1]))
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(out).all()
+    out2 = np.asarray(up(img, prompt="another condition", steps=2,
+                         seeds=[1]))
+    assert np.abs(out - out2).max() > 1e-6
+
+
+def test_latent_upscaler_x2_engine_kind():
+    import jax.numpy as jnp
+
+    from gyre_tpu.manager.manager import EngineManager
+
+    m = EngineManager(
+        [{"id": "x2", "task": "upscaler", "model": "preset/upscaler-x2-test",
+          "kind": "sd-x2", "steps": 2}],
+        compute_dtype=jnp.float32)
+    m.load_engines()
+    fn = m.task_pipeline("upscaler", "x2")
+    img = np.random.RandomState(0).rand(1, 16, 16, 3).astype(np.float32)
+    out = np.asarray(fn(img))
+    assert out.shape == (1, 32, 32, 3)
