@@ -535,7 +535,7 @@ class EngineManager:
 
             params = pose_mod.init(_jax.random.PRNGKey(seed),
                                    dtype=jnp.float32)
-            fn = _jax.jit(pose_mod.estimate_and_render)
+            fn = _jax.jit(pose_mod.estimate_and_render_multi)
 
             def run(img):
                 return fn(params, jnp.asarray(img, jnp.float32))
@@ -546,7 +546,44 @@ class EngineManager:
                                        dtype=jnp.float32)
             fn = _jax.jit(hinters.mlsd_apply)
             return lambda img: fn(params, jnp.asarray(img, jnp.float32))
-        if kind in ("edge", "hinter", "hed", "soft_edge", "lineart"):
+        if kind == "dexined":
+            # dense-inception edge detector (reference
+            # dexined_pipeline.py via kornia.filters.DexiNed)
+            state = self.spec_state_dict(spec)
+            params = None
+            if state is not None:
+                try:
+                    params = hinters.load_dexined_params(state)
+                except KeyError as e:
+                    logger.warning("dexined checkpoint naming mismatch "
+                                   "(%s); random-init", e)
+            if params is None:
+                params = hinters.dexined_init(_jax.random.PRNGKey(seed),
+                                              dtype=jnp.float32)
+            fn = _jax.jit(hinters.dexined_apply)
+
+            def run(img):
+                e = fn(params, jnp.asarray(img, jnp.float32))
+                return jnp.tile(e, (1, 1, 1, 3))
+
+            return run
+        if kind in ("drawings", "informative_drawings", "lineart"):
+            # line-art hinter (reference informative_drawing_pipeline.py +
+            # vendored hinters/models/informative_drawings.py)
+            state = self.spec_state_dict(spec)
+            if state is not None:
+                params = hinters.load_drawings_params(state)
+            else:
+                params = hinters.drawings_init(_jax.random.PRNGKey(seed),
+                                               dtype=jnp.float32)
+            fn = _jax.jit(hinters.drawings_apply)
+
+            def run(img):
+                e = fn(params, jnp.asarray(img, jnp.float32))
+                return jnp.tile(e, (1, 1, 1, 3))
+
+            return run
+        if kind in ("edge", "hinter", "hed", "soft_edge"):
             state = self.spec_state_dict(spec)
             if state is not None:
                 params = hinters.load_hed_params(state)

@@ -197,3 +197,40 @@ def upsample_nearest_2x(x: jax.Array) -> jax.Array:
 def avg_pool_2x(x: jax.Array) -> jax.Array:
     return lax.reduce_window(x, 0.0, lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
                              "VALID") * 0.25
+
+
+def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """InstanceNorm2d (affine=False) over NHWC: per-sample, per-channel
+    spatial statistics in f32."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2), keepdims=True)
+    return ((xf - mean) * lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def conv_transpose2d(p: Params, x: jax.Array, stride: int = 2,
+                     padding: int = 1, output_padding: int = 1) -> jax.Array:
+    """torch ConvTranspose2d equivalent: conv with lhs dilation = stride,
+    spatially-flipped kernel, pad (k-1-p, k-1-p+op). Weight stored HWIO
+    with I = torch in-channels (models/load maps [in,out,kh,kw] ->
+    [kh,kw,in,out])."""
+    w = p["w"].astype(x.dtype)
+    k = w.shape[0]
+    lo = k - 1 - padding
+    hi = k - 1 - padding + output_padding
+    y = lax.conv_general_dilated(
+        x, w[::-1, ::-1],
+        window_strides=(1, 1),
+        padding=[(lo, hi), (lo, hi)],
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def reflect_pad2d(x: jax.Array, pad: int) -> jax.Array:
+    return jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)],
+                   mode="reflect")

@@ -5,8 +5,13 @@ keypose/openpose maps (gyre/pipeline/hinters/mmpose_pipeline.py, ~290 LoC
 over vendored mmlab stacks). Here:
 
   * PoseNet — a CPM-shaped heatmap network: conv backbone at stride 8 +
-    per-keypoint confidence maps (COCO-18 layout). Single-person argmax
-    decoding (multi-person PAF grouping tracked for a later round).
+    per-keypoint confidence maps (COCO-18 layout) + part-affinity fields
+    (2 channels per limb, the OpenPose PAF formulation).
+  * Multi-person decoding, static shapes throughout: top-P spatial peaks
+    per keypoint (3x3 NMS + top_k), limb candidates scored by the PAF
+    line integral, mutual-best matching (a pair survives iff each endpoint
+    is the other's argmax) — no data-dependent person assembly, because
+    hint rendering only needs the limb set, not person identities.
   * render_openpose — the standard OpenPose skeleton rasterizer (colored
     limbs + joints) as pure jnp distance fields, so hint generation stays
     on-device and differentiable.
@@ -38,7 +43,7 @@ LIMB_COLORS = np.asarray([
 
 def init(key, width: int = 64, n_blocks: int = 6,
          dtype=jnp.float32) -> Params:
-    ks = iter(jax.random.split(key, n_blocks * 2 + 6))
+    ks = iter(jax.random.split(key, n_blocks * 2 + 8))
     p: Params = {
         "stem1": L.conv_init(next(ks), 3, 3, 3, width, dtype),
         "stem2": L.conv_init(next(ks), 3, 3, width, width, dtype),
@@ -46,6 +51,8 @@ def init(key, width: int = 64, n_blocks: int = 6,
         "blocks": [],
         "head1": L.conv_init(next(ks), 1, 1, width * 2, width, dtype),
         "head2": L.conv_init(next(ks), 1, 1, width, N_KEYPOINTS, dtype),
+        "paf1": L.conv_init(next(ks), 1, 1, width * 2, width, dtype),
+        "paf2": L.conv_init(next(ks), 1, 1, width, 2 * len(LIMBS), dtype),
     }
     for _ in range(n_blocks):
         p["blocks"].append({
@@ -73,6 +80,30 @@ def heatmaps(params: Params, images: jax.Array) -> jax.Array:
         x = jax.nn.relu(L.group_norm(blk["norm"], x + h, 8))
     x = jax.nn.relu(L.conv2d(params["head1"], x))
     return L.conv2d(params["head2"], x)
+
+
+def heatmaps_and_pafs(params: Params, images: jax.Array):
+    """images [B,H,W,3] -> (confidence maps [B,h,w,18],
+    part-affinity fields [B,h,w,2*L])."""
+    x = images * 2.0 - 1.0
+    x = jax.nn.relu(L.conv2d(params["stem1"], x, stride=2,
+                             padding=[(1, 1), (1, 1)]))
+    x = jax.nn.relu(L.conv2d(params["stem2"], x, stride=2,
+                             padding=[(1, 1), (1, 1)]))
+    x = jax.nn.relu(L.conv2d(params["stem3"], x, stride=2,
+                             padding=[(1, 1), (1, 1)]))
+    for blk in params["blocks"]:
+        h = jax.nn.relu(L.conv2d(blk["conv1"], x))
+        h = L.conv2d(blk["conv2"], h)
+        x = jax.nn.relu(L.group_norm(blk["norm"], x + h, 8))
+    feat = x
+    maps = L.conv2d(params["head2"],
+                    jax.nn.relu(L.conv2d(params["head1"], feat)))
+    if "paf1" not in params:     # older param trees: no PAF head
+        return maps, None
+    pafs = L.conv2d(params["paf2"],
+                    jax.nn.relu(L.conv2d(params["paf1"], feat)))
+    return maps, pafs
 
 
 def decode_keypoints(maps: jax.Array):
@@ -122,3 +153,118 @@ def estimate_and_render(params: Params, images: jax.Array) -> jax.Array:
     maps = heatmaps(params, images)
     kps, conf = decode_keypoints(maps)
     return render_openpose(kps, conf, images.shape[1], images.shape[2])
+
+
+# ------------------------------------------------------- multi-person
+
+
+def top_peaks(maps: jax.Array, max_people: int = 8,
+              nms_window: int = 3):
+    """Per-keypoint spatial peaks: 3x3 NMS then top_k, static shapes.
+    maps [B,h,w,K] logits -> (xy [B,K,P,2] in 0..1, conf [B,K,P])."""
+    b, h, w, k = maps.shape
+    pooled = jax.lax.reduce_window(
+        maps, -jnp.inf, jax.lax.max,
+        (1, nms_window, nms_window, 1), (1, 1, 1, 1), "SAME")
+    peaks = jnp.where(maps >= pooled, maps, -jnp.inf)
+    flat = peaks.transpose(0, 3, 1, 2).reshape(b, k, h * w)
+    vals, idx = jax.lax.top_k(flat, max_people)          # [B,K,P]
+    ys = (idx // w).astype(jnp.float32) / max(h - 1, 1)
+    xs = (idx % w).astype(jnp.float32) / max(w - 1, 1)
+    return jnp.stack([xs, ys], axis=-1), jax.nn.sigmoid(vals)
+
+
+def _paf_score(paf_x, paf_y, pa, pb, samples: int = 10):
+    """OpenPose limb score: mean dot product of the PAF along the segment
+    pa->pb. paf_x/paf_y [h,w]; pa/pb [2] in 0..1 -> scalar."""
+    h, w = paf_x.shape
+    t = jnp.linspace(0.0, 1.0, samples)
+    xs = pa[0] + (pb[0] - pa[0]) * t
+    ys = pa[1] + (pb[1] - pa[1]) * t
+    xi = jnp.clip((xs * (w - 1)).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip((ys * (h - 1)).astype(jnp.int32), 0, h - 1)
+    vx = paf_x[yi, xi]
+    vy = paf_y[yi, xi]
+    d = pb - pa
+    norm = jnp.sqrt(jnp.sum(d ** 2) + 1e-8)
+    u = d / norm
+    return jnp.mean(vx * u[0] + vy * u[1])
+
+
+def match_limbs(xy: jax.Array, conf: jax.Array, pafs: jax.Array,
+                conf_threshold: float = 0.3,
+                paf_threshold: float = 0.05):
+    """Mutual-best PAF matching per limb (one batch element).
+
+    xy [K,P,2], conf [K,P], pafs [h,w,2L] ->
+    (pa [L,P,2], pb [L,P,2], ok [L,P]): for each limb up to P matched
+    segments; unmatched slots have ok=0. A candidate pair survives iff
+    each endpoint is the other's best-scoring partner, both keypoint
+    confidences pass, and the PAF line integral is positive — the static
+    equivalent of OpenPose's greedy bipartite assignment."""
+    n_limbs = len(LIMBS)
+    p = xy.shape[1]
+    pa_out, pb_out, ok_out = [], [], []
+    for li, (a, b) in enumerate(LIMBS):
+        paf_x = pafs[..., 2 * li]
+        paf_y = pafs[..., 2 * li + 1]
+        score = jax.vmap(lambda i: jax.vmap(lambda j: _paf_score(
+            paf_x, paf_y, xy[a, i], xy[b, j]))(jnp.arange(p)))(
+            jnp.arange(p))                                # [P,P]
+        valid = (conf[a][:, None] > conf_threshold) & \
+            (conf[b][None, :] > conf_threshold)
+        score = jnp.where(valid, score, -jnp.inf)
+        best_j = jnp.argmax(score, axis=1)                # [P]
+        best_i = jnp.argmax(score, axis=0)                # [P]
+        mutual = best_i[best_j] == jnp.arange(p)
+        s_best = jnp.take_along_axis(score, best_j[:, None],
+                                     axis=1)[:, 0]
+        ok = mutual & (s_best > paf_threshold)
+        pa_out.append(xy[a])
+        pb_out.append(xy[b][best_j])
+        ok_out.append(ok.astype(jnp.float32))
+    return (jnp.stack(pa_out), jnp.stack(pb_out), jnp.stack(ok_out))
+
+
+def render_limbs(pa: jax.Array, pb: jax.Array, ok: jax.Array,
+                 height: int, width: int,
+                 limb_width: float = 0.02) -> jax.Array:
+    """Rasterize matched limb segments: pa/pb [L,P,2], ok [L,P] ->
+    [H,W,3] openpose-colored canvas."""
+    yy = jnp.linspace(0, 1, height)[:, None]
+    xx = jnp.linspace(0, 1, width)[None, :]
+    colors = jnp.asarray(LIMB_COLORS)
+
+    def limb_layer(pa_l, pb_l, ok_l, color):
+        def seg(p0, p1, o):
+            dx, dy = p1[0] - p0[0], p1[1] - p0[1]
+            len2 = jnp.maximum(dx ** 2 + dy ** 2, 1e-8)
+            px = xx - p0[0]
+            py = yy - p0[1]
+            t = jnp.clip((px * dx + py * dy) / len2, 0.0, 1.0)
+            dist = jnp.sqrt((px - t * dx) ** 2 + (py - t * dy) ** 2)
+            return (dist < limb_width).astype(jnp.float32) * o
+        masks = jax.vmap(seg)(pa_l, pb_l, ok_l)           # [P,H,W]
+        return masks.max(axis=0)[..., None] * color
+
+    layers = jax.vmap(limb_layer)(pa, pb, ok, colors)     # [L,H,W,3]
+    return layers.max(axis=0)
+
+
+def estimate_and_render_multi(params: Params, images: jax.Array,
+                              max_people: int = 8) -> jax.Array:
+    """Multi-person hinter pipeline: image -> openpose skeleton map with
+    every PAF-validated limb drawn (person grouping is unnecessary for
+    hint images). Falls back to single-person argmax when the param tree
+    has no PAF head."""
+    maps, pafs = heatmaps_and_pafs(params, images)
+    if pafs is None:
+        kps, conf = decode_keypoints(maps)
+        return render_openpose(kps, conf, images.shape[1], images.shape[2])
+    xy, conf = top_peaks(maps, max_people)
+
+    def one(xy_b, conf_b, paf_b):
+        pa, pb, ok = match_limbs(xy_b, conf_b, paf_b)
+        return render_limbs(pa, pb, ok, images.shape[1], images.shape[2])
+
+    return jax.vmap(one)(xy, conf, pafs)

@@ -39,7 +39,9 @@ def encode_png(img: np.ndarray, metadata: dict[str, str] | None = None) -> bytes
 
     if img.ndim == 4:
         img = img[0]
-    arr = (np.clip(np.asarray(img), 0, 1) * 255).round().astype(np.uint8)
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8:   # device-side quantized outputs pass through
+        arr = (np.clip(arr, 0, 1) * 255).round().astype(np.uint8)
     if arr.shape[-1] == 1:
         arr = arr[..., 0]
     pil = Image.fromarray(arr)
@@ -56,7 +58,9 @@ def encode_webp(img: np.ndarray, quality: int = 90) -> bytes:
 
     if img.ndim == 4:
         img = img[0]
-    arr = (np.clip(np.asarray(img), 0, 1) * 255).round().astype(np.uint8)
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8:
+        arr = (np.clip(arr, 0, 1) * 255).round().astype(np.uint8)
     pil = Image.fromarray(arr)
     buf = io.BytesIO()
     pil.save(buf, format="WEBP", quality=quality)

@@ -512,7 +512,8 @@ class UnifiedPipeline:
                  progress_callback=None,
                  stop_event=None,
                  chunk_steps: int = 0,
-                 return_latents: bool = False):
+                 return_latents: bool = False,
+                 output_dtype: str | None = None):
         """Run generation; returns images [B,H,W,3] float32 in [0,1].
 
         mask convention: the proto/reference mask is white=regenerate
@@ -900,4 +901,12 @@ class UnifiedPipeline:
             if float(jnp.std(init)) > 0.02:
                 gen = I.match_histograms(images, init)
             images = init * hard + gen * (1 - hard)
+        if output_dtype == "uint8":
+            # quantize on device: the host only ever needs uint8 for PNG
+            # encoding, and the transfer is 4x smaller than f32 (material
+            # over a tunneled/PCIe link)
+            if "to_uint8" not in self._fn_cache:
+                self._fn_cache["to_uint8"] = jax.jit(lambda x: jnp.clip(
+                    x * 255.0 + 0.5, 0, 255).astype(jnp.uint8))
+            images = self._fn_cache["to_uint8"](images)
         return images

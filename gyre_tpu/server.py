@@ -45,6 +45,14 @@ def parse_args(argv=None):
     net.add_argument("--http_file_root", type=str,
                      default=os.environ.get("SD_HTTP_FILE_ROOT", ""),
                      help="serve static files from this directory at /")
+    net.add_argument("--localtunnel", action="store_true",
+                     default=environ_bool("SD_LOCALTUNNEL"),
+                     help="expose the HTTP port through localtunnel.me "
+                          "(requires npx; forces an access token)")
+    net.add_argument("--reload", action="store_true",
+                     default=environ_bool("SD_RELOAD"),
+                     help="restart the server when source or config "
+                          "files change (reference hupper auto-reload)")
 
     gen = p.add_argument_group("generation")
     gen.add_argument("--enginecfg", type=str,
@@ -237,8 +245,104 @@ class TokenAuthInterceptor:
         return self._abort
 
 
+class SourceWatcher:
+    """--reload: restart on source/config changes (the reference uses
+    hupper's monitored subprocess, gyre/server.py:880-885; here a polling
+    watcher re-execs the process — one process, TPU stays cleanly
+    released on exec)."""
+
+    def __init__(self, interval: float = 10.0, extra_paths=()):
+        self.interval = interval
+        self.extra_paths = [p for p in extra_paths if p]
+        self._mtimes: dict[str, float] = {}
+
+    def _scan(self) -> dict[str, float]:
+        import glob
+
+        root = os.path.dirname(os.path.abspath(__file__))
+        paths = glob.glob(os.path.join(root, "**", "*.py"), recursive=True)
+        for extra in self.extra_paths:
+            if os.path.isdir(extra):
+                paths += glob.glob(os.path.join(extra, "**", "*.yaml"),
+                                   recursive=True)
+            elif os.path.exists(extra):
+                paths.append(extra)
+        out = {}
+        for p in paths:
+            try:
+                out[p] = os.stat(p).st_mtime
+            except OSError:
+                pass
+        return out
+
+    def changed(self) -> list[str]:
+        now = self._scan()
+        if not self._mtimes:
+            self._mtimes = now
+            return []
+        diff = [p for p, t in now.items()
+                if self._mtimes.get(p) not in (None, t)]
+        self._mtimes = now
+        return diff
+
+    def start(self):
+        import sys
+
+        def watch():
+            self.changed()  # baseline
+            while True:
+                time.sleep(self.interval)
+                diff = self.changed()
+                if diff:
+                    logger.info("source changed (%s); restarting",
+                                os.path.basename(diff[0]))
+                    os.execv(sys.executable,
+                             [sys.executable] + sys.argv)
+
+        threading.Thread(target=watch, daemon=True,
+                         name="source-watcher").start()
+        return self
+
+
+def start_localtunnel(port: int, access_token: str):
+    """--localtunnel: `npx localtunnel` subprocess, parsing the public URL
+    from its output (reference LocaltunnelServer,
+    gyre/server.py:262-325). Returns the Popen handle or None."""
+    import re
+    import shutil
+    import subprocess
+
+    npx = shutil.which("npx")
+    if npx is None:
+        logger.warning("localtunnel requested but npx is not installed")
+        return None
+    proc = subprocess.Popen(
+        [npx, "--yes", "localtunnel", "--port", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+
+    def reader():
+        for line in proc.stdout:  # type: ignore[union-attr]
+            m = re.search(r"url is: https://(\S+)", line)
+            if m:
+                logger.info(
+                    "localtunnel up — server '%s', port 443, key '%s'",
+                    m.group(1), access_token)
+            else:
+                logger.info("localtunnel: %s", line.rstrip())
+
+    threading.Thread(target=reader, daemon=True,
+                     name="localtunnel").start()
+    return proc
+
+
 def main(argv=None):
     args = parse_args(argv)
+    if args.localtunnel and not args.access_token:
+        import secrets
+
+        args.access_token = secrets.token_urlsafe(16)
+    if args.reload:
+        SourceWatcher(extra_paths=[args.enginecfg]).start()
 
     import grpc
 
@@ -327,6 +431,8 @@ def main(argv=None):
         file_root=args.http_file_root or None)
     start_http_server(http_server)
     logger.info("HTTP listening on %s:%d", http_host or "*", args.http_port)
+    if args.localtunnel:
+        start_localtunnel(args.http_port, args.access_token)
 
     manager.load_engines()
     monitor.log("engines loaded")

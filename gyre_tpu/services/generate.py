@@ -481,6 +481,9 @@ class GenerationServiceServicer:
                     noise_type=p.noise_type,
                     cfg_sequential=p.cfg_sequential,
                     tome_ratio=p.tome_ratio,
+                    # quantize on device: PNG needs uint8 anyway and the
+                    # device->host transfer is 4x smaller than f32
+                    output_dtype="uint8",
                     stop_event=stop_event,
                     chunk_steps=10 if stop_event is not None else 0,
                 )
@@ -497,7 +500,9 @@ class GenerationServiceServicer:
                 if imgs is None:  # cancelled mid-request
                     return
                 imgs = np.asarray(imgs)
-                flags = self._safety_check(imgs)
+                imgs_f = (imgs.astype(np.float32) / 255.0
+                          if imgs.dtype == np.uint8 else imgs)
+                flags = self._safety_check(imgs_f)
                 for j, seed in enumerate(batch):
                     md = dict(meta, seed=seed, index=index)
                     md = {k: str(v) for k, v in md.items()}

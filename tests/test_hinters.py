@@ -123,3 +123,125 @@ def test_depth_task_engine_in_adjustments():
     out = apply_image_adjustment(img, [adj], m, None)
     assert out.shape == (1, 64, 64, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_informative_drawings_matches_reference_oracle():
+    """Numeric parity of the line-art generator against the vendored
+    reference torch implementation (used as an external oracle when
+    present — never shipped)."""
+    import importlib.util
+    import os
+
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    path = ("/root/reference/gyre/pipeline/hinters/models/"
+            "informative_drawings.py")
+    if not os.path.exists(path):
+        pytest.skip("reference oracle not available")
+    spec = importlib.util.spec_from_file_location("id_oracle", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    torch.manual_seed(0)
+    net = mod.DrawingGenerator(3, 1, n_residual_blocks=2).eval()
+    state = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params = hinters.load_drawings_params(state)
+
+    img = np.random.default_rng(0).random((1, 32, 32, 3)).astype(np.float32)
+    ours = np.asarray(hinters.drawings_apply(params, jnp.asarray(img)))
+    with torch.no_grad():
+        theirs = net(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    theirs = theirs.numpy().transpose(0, 2, 3, 1)
+    assert ours.shape == theirs.shape
+    assert np.abs(ours - theirs).max() < 2e-3
+
+
+def test_drawings_engine_kind():
+    from gyre_tpu.manager.manager import EngineManager
+
+    m = EngineManager(
+        [{"id": "lineart", "task": "hinter", "kind": "lineart"}],
+        compute_dtype=jnp.float32)
+    m.load_engines()
+    fn = m.task_pipeline("hinter", "lineart")
+    img = np.random.default_rng(1).random((1, 32, 32, 3)).astype(np.float32)
+    out = np.asarray(fn(img))
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(out).all() and out.min() >= 0 and out.max() <= 1
+
+
+def _dexined_synthetic_state():
+    """State dict shaped exactly like the published DexiNed checkpoint
+    (original-repo module naming) for load-path verification."""
+    rng = np.random.default_rng(0)
+    state = {}
+
+    def conv(pre, cin, cout, k, bn=True, bias=True):
+        state[f"{pre}.weight"] = rng.standard_normal(
+            (cout, cin, k, k)).astype(np.float32) * 0.05
+        if bias:
+            state[f"{pre}.bias"] = np.zeros(cout, np.float32)
+        return cout
+
+    def bn(pre, c):
+        state[f"{pre}.weight"] = np.ones(c, np.float32)
+        state[f"{pre}.bias"] = np.zeros(c, np.float32)
+        state[f"{pre}.running_mean"] = np.zeros(c, np.float32)
+        state[f"{pre}.running_var"] = np.ones(c, np.float32)
+
+    conv("block_1.conv1", 3, 32, 3); bn("block_1.bn1", 32)
+    conv("block_1.conv2", 32, 64, 3); bn("block_1.bn2", 64)
+    conv("block_2.conv1", 64, 128, 3); bn("block_2.bn1", 128)
+    conv("block_2.conv2", 128, 128, 3); bn("block_2.bn2", 128)
+    for i, (cin, cout) in enumerate(((64, 128), (128, 256), (256, 512),
+                                     (512, 512)), start=1):
+        conv(f"side_{i}.conv", cin, cout, 1); bn(f"side_{i}.bn", cout)
+    for i, (cin, cout) in zip((2, 3, 4, 5, 6),
+                              ((128, 256), (128, 256), (256, 512),
+                               (512, 512), (512, 256))):
+        conv(f"pre_dense_{i}.conv", cin, cout, 1)
+        bn(f"pre_dense_{i}.bn", cout)
+    for bi, (n, cin, cout) in zip((3, 4, 5, 6),
+                                  ((2, 128, 256), (3, 256, 512),
+                                   (3, 512, 512), (3, 512, 256))):
+        for li in range(1, n + 1):
+            ci = cin if li == 1 else cout
+            conv(f"dblock_{bi}.denselayer{li}.conv1", ci, cout, 3)
+            bn(f"dblock_{bi}.denselayer{li}.norm1", cout)
+            conv(f"dblock_{bi}.denselayer{li}.conv2", cout, cout, 3)
+            bn(f"dblock_{bi}.denselayer{li}.norm2", cout)
+    for ui, (cin, sc) in zip(range(1, 7),
+                             ((64, 1), (128, 1), (256, 2), (512, 3),
+                              (512, 4), (256, 4))):
+        feats = cin
+        for i in range(sc):
+            out_f = 1 if i == sc - 1 else 16
+            conv(f"up_block_{ui}.features.{i * 3}", feats, out_f, 1)
+            k = 2 ** sc
+            state[f"up_block_{ui}.features.{i * 3 + 2}.weight"] = \
+                rng.standard_normal((out_f, out_f, k, k)).astype(
+                    np.float32) * 0.05
+            state[f"up_block_{ui}.features.{i * 3 + 2}.bias"] = \
+                np.zeros(out_f, np.float32)
+            feats = out_f
+    conv("block_cat.conv", 6, 1, 1); bn("block_cat.bn", 1)
+    return state
+
+
+def test_dexined_loads_published_layout():
+    state = _dexined_synthetic_state()
+    params = hinters.load_dexined_params(state)
+    img = np.random.default_rng(1).random((1, 64, 64, 3)).astype(np.float32)
+    out = np.asarray(hinters.dexined_apply(params, jnp.asarray(img)))
+    assert out.shape == (1, 64, 64, 1)
+    assert np.isfinite(out).all()
+
+
+def test_dexined_random_runs():
+    import jax
+
+    params = hinters.dexined_init(jax.random.PRNGKey(0))
+    img = np.random.default_rng(2).random((1, 32, 32, 3)).astype(np.float32)
+    out = np.asarray(hinters.dexined_apply(params, jnp.asarray(img)))
+    assert out.shape == (1, 32, 32, 1)

@@ -55,3 +55,45 @@ def test_pose_task_engine():
                       jnp.float32)
     out = apply_image_adjustment(img, [adj], m, None)
     assert out.shape == (1, 64, 64, 3)
+
+
+def test_multi_person_peaks_and_matching():
+    """Synthetic two-person scene: peaks land on both people and the PAF
+    mutual-best matching connects same-person joints, not cross-person."""
+    import jax
+
+    h = w = 32
+    maps = np.full((1, h, w, pose.N_KEYPOINTS), -10.0, np.float32)
+    pafs = np.zeros((1, h, w, 2 * len(pose.LIMBS)), np.float32)
+    # limb 0 is (neck=1, r_shoulder=2); person A at x=8, person B at x=24
+    for px, py1, py2 in ((8, 8, 16), (24, 8, 16)):
+        maps[0, py1, px, 1] = 10.0
+        maps[0, py2, px, 2] = 10.0
+        # vertical PAF along each person's limb
+        pafs[0, py1:py2 + 1, px - 1:px + 2, 1] = 1.0  # y-component
+    xy, conf = pose.top_peaks(jnp.asarray(maps), max_people=4)
+    xy_np = np.asarray(xy)[0]
+    # both neck peaks found
+    neck_x = sorted(np.round(xy_np[1, :2, 0] * (w - 1)).astype(int))
+    assert neck_x == [8, 24]
+    pa, pb, ok = pose.match_limbs(jnp.asarray(xy)[0],
+                                  jnp.asarray(conf)[0],
+                                  jnp.asarray(pafs)[0])
+    ok0 = np.asarray(ok)[0]
+    pa0 = np.asarray(pa)[0][ok0 > 0]
+    pb0 = np.asarray(pb)[0][ok0 > 0]
+    assert ok0.sum() == 2  # two limbs matched (one per person)
+    for s, e in zip(pa0, pb0):
+        # matched endpoints share an x coordinate (same person)
+        assert abs(s[0] - e[0]) < 0.05
+
+
+def test_multi_person_render_runs():
+    import jax
+
+    params = pose.init(jax.random.PRNGKey(0))
+    img = np.random.default_rng(0).random((1, 64, 64, 3)).astype(np.float32)
+    out = np.asarray(jax.jit(pose.estimate_and_render_multi)(
+        params, jnp.asarray(img)))
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(out).all()

