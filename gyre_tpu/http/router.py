@@ -241,7 +241,20 @@ class HttpHandler(BaseHTTPRequestHandler):
             if data is not None:
                 return self._send(200, "application/json", data)
         if path == "/status":
-            return self._send_json({"engines": self.manager.status()})
+            from ..utils.timing import STATS
+
+            return self._send_json({"engines": self.manager.status(),
+                                    "timings": STATS.summary()})
+        if path in ("/profile/start", "/profile/stop"):
+            from ..utils import timing
+
+            if path.endswith("start"):
+                err = timing.profiler_start("/tmp/gyre-profile")
+            else:
+                err = timing.profiler_stop()
+            return self._send_json(
+                {"ok": err is None, "error": err,
+                 "log_dir": "/tmp/gyre-profile"})
         if re.fullmatch(r"/v1(?:alpha|beta)?/engines/list", path):
             if not self._authorized():
                 return self._deny()

@@ -720,10 +720,58 @@ class EngineManager:
             16 * 1024 ** 3
         used = max((s.get("bytes_in_use") or 0) for s in stats)
         free = max(limit - used, 1 << 30)
-        # empirical: SD1.5 512^2 CFG step peaks ~1.2 GB activations/image;
-        # scales with latent pixels
-        per_image = 1.2e9 * (height * width) / (512 * 512)
+        per_image = self._probe_bytes_per_image(engine_id, height, width)
         return max(1, min(int(free / per_image), 64))
+
+    def _probe_bytes_per_image(self, engine_id: str, height: int,
+                               width: int) -> float:
+        """Measured activation footprint: AOT-compile the engine's CFG
+        unet step at a small batch and read XLA's memory_analysis — the
+        TPU-native replacement for the reference's binary-search CUDA
+        probe runs (gyre/manager.py:230-282), with no device execution.
+        Results cache per (engine, resolution); the persistent XLA cache
+        makes repeat probes cheap. Falls back to a config-scaled estimate
+        when the backend hides the analysis."""
+        key = ("batch_probe", engine_id, height, width)
+        if key in self._adapted:
+            return self._adapted[key]
+        import jax
+
+        from ..models import unet as unet_mod
+
+        pipe = self.pipeline(engine_id)
+        ucfg = pipe.ms.config.unet
+        cdt = self.compute_dtype
+        per = None
+        try:
+            b = 4  # 2 images x CFG
+            shapes = jax.tree_util.tree_map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                pipe.ms.unet_params)
+            x = jax.ShapeDtypeStruct(
+                (b, height // 8, width // 8, ucfg.in_channels), cdt)
+            t = jax.ShapeDtypeStruct((b,), jnp.float32)
+            ctx = jax.ShapeDtypeStruct(
+                (b, 77, ucfg.cross_attention_dim), cdt)
+            compiled = jax.jit(
+                lambda p, x, t, c: unet_mod.apply(p, ucfg, x, t, c)
+            ).lower(shapes, x, t, ctx).compile()
+            mem = compiled.memory_analysis()
+            temp = getattr(mem, "temp_size_in_bytes", None)
+            if temp:
+                # CFG doubles the rows: 2 unet rows per image, plus the
+                # sampler's carried latents (small) and a safety margin
+                per = 2 * (temp / b) * 1.25
+        except Exception as e:  # noqa: BLE001
+            logger.info("batch probe unavailable (%s); using estimate", e)
+        if not per:
+            # config-scaled analytic estimate: ~12 live level-0-sized
+            # activation maps per CFG row in bf16/f32
+            c0 = ucfg.block_out_channels[0]
+            bytes_el = 2 if cdt == jnp.bfloat16 else 4
+            per = 2 * 12 * (height // 8) * (width // 8) * c0 * bytes_el * 4
+        self._adapted[key] = per
+        return per
 
     def status(self) -> list[dict]:
         return [

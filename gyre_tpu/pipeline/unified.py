@@ -822,6 +822,10 @@ class UnifiedPipeline:
                      extra if extra is not None
                      else jnp.zeros((batch, lh, lw, 4), jnp.float32))
 
+        from ..utils.latent_debug import log_latents
+
+        if mode != "txt2img" and init_latents is not None:
+            log_latents("init", init_latents)
         n_steps = len(sigmas_np) - 1
         chunkable = (chunk_steps and chunk_steps < n_steps and
                      hires is None and
@@ -859,6 +863,7 @@ class UnifiedPipeline:
                     else jnp.zeros((batch, lh, lw, 4), jnp.float32),
                     step_offset=done, carry_in=carry, **core_kwargs)
                 done += seg
+                log_latents(f"chunk:{done}", x0)
                 if "clip_loss" in aux and clip_cfg_obj is not None:
                     # flat-loss schedule (reference clipguided.py:152-173),
                     # adapted to one loss sample per chunk: window spans
@@ -882,6 +887,7 @@ class UnifiedPipeline:
             if progress_callback is not None:
                 progress_callback(n_steps, n_steps)
 
+        log_latents("final", x0)
         if return_latents:
             return x0
         images = self.vae_decode(x0)

@@ -351,7 +351,10 @@ class GenerationServiceServicer:
             return adj_mod.apply_image_adjustment(
                 img, chain, self.manager, request.engine_id or None)
 
-        p = extract_params(request, adjuster=adjuster)
+        from ..utils.timing import STATS
+
+        with STATS.timer("extract"):
+            p = extract_params(request, adjuster=adjuster)
 
         # engine option defaults (reference set_options / pipeline_meta,
         # gyre/pipeline/unified_pipeline.py:1538-1629): request-level values
@@ -493,8 +496,13 @@ class GenerationServiceServicer:
                 # window (chunked dispatch + cancellation survive merging
                 # via the dispatcher's CombinedEvent).
                 try:
+                    t0 = time.perf_counter()
                     imgs = self.manager.dispatcher.submit(
                         pipe, kwargs, stop_event).result()
+                    dt = time.perf_counter() - t0
+                    STATS.record("generate", dt)
+                    if p.steps:
+                        STATS.record("per_step", dt / p.steps)
                 except CancelledError:
                     return
                 if imgs is None:  # cancelled mid-request
@@ -533,9 +541,12 @@ class GenerationServiceServicer:
             if isinstance(item, pb.Artifact):
                 artifact = item
             else:
-                artifact = image_to_artifact(
-                    item, index=index, seed=seed, metadata=md,
-                    finish_reason=pb.FILTER if nsfw else pb.NULL)
+                from ..utils.timing import STATS
+
+                with STATS.timer("encode"):
+                    artifact = image_to_artifact(
+                        item, index=index, seed=seed, metadata=md,
+                        finish_reason=pb.FILTER if nsfw else pb.NULL)
             yield pb.Answer(
                 answer_id=f"{request.request_id}-{index}",
                 request_id=request.request_id,

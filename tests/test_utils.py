@@ -129,3 +129,57 @@ def test_debug_recorder(tmp_path):
     with gzip.open(tmp_path / files[0], "rt") as fh:
         data = json.load(fh)
     assert data["request"]["prompt"] == "a cat"
+
+
+def test_measured_batch_probe():
+    """suggest_max_batch uses XLA memory_analysis of the compiled unet
+    step when available (reference autodetect probe analogue)."""
+    import jax.numpy as jnp
+
+    from gyre_tpu.manager.manager import EngineManager
+
+    m = EngineManager(
+        [{"id": "probe", "model": "preset/test", "default": True}],
+        compute_dtype=jnp.float32, batch_max=8)
+    m.load_engines()
+    per = m._probe_bytes_per_image("probe", 64, 64)
+    assert per > 0
+    b = m.suggest_max_batch("probe", 64, 64)
+    assert 1 <= b <= 64
+    # cached on repeat
+    assert m._probe_bytes_per_image("probe", 64, 64) == per
+
+
+def test_request_stats_summary():
+    from gyre_tpu.utils.timing import RequestStats
+
+    st = RequestStats()
+    for v in (0.01, 0.02, 0.03):
+        st.record("generate", v)
+    with st.timer("extract"):
+        pass
+    s = st.summary()
+    assert s["generate"]["count"] == 3
+    assert s["generate"]["p50_ms"] == 20.0
+    assert "extract" in s
+
+
+def test_latent_debug_tags(monkeypatch, caplog):
+    import logging
+
+    import jax.numpy as jnp
+
+    from gyre_tpu.utils import latent_debug
+
+    lat = jnp.zeros((1, 8, 8, 4), jnp.float32)
+    monkeypatch.setenv("SD_DEBUG_LATENTS", "")
+    latent_debug.log_latents("init", lat)  # disabled: no record
+    monkeypatch.setenv("SD_DEBUG_LATENTS", "init,final")
+    with caplog.at_level(logging.INFO, logger="gyre_tpu.latents"):
+        latent_debug.log_latents("init", lat)
+        latent_debug.log_latents("chunk:10", lat)  # not enabled
+        latent_debug.log_latents("final", lat)
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("latents:init" in m for m in msgs)
+    assert any("latents:final" in m for m in msgs)
+    assert not any("chunk" in m for m in msgs)
