@@ -525,11 +525,27 @@ class EngineManager:
                                       dtype=jnp.float32)
             fn = _jax.jit(hinters.seg_apply)
             return lambda img: fn(params, jnp.asarray(img, jnp.float32))
-        if kind in ("background_removal", "bg"):
-            params = hinters.saliency_init(_jax.random.PRNGKey(seed),
-                                           dtype=jnp.float32)
-            fn = _jax.jit(hinters.remove_background)
-            return lambda img: fn(params, jnp.asarray(img, jnp.float32))
+        if kind in ("background_removal", "bg", "inspyrenet"):
+            # InSPyReNet saliency pyramid (reference
+            # inspyrenet_pipeline.py over the vendored SwinB model);
+            # checkpoint-loadable, else random-init at test scale
+            from ..models import inspyrenet as isp
+
+            state = self.spec_state_dict(spec)
+            if state is not None:
+                params, icfg = isp.load_inspyrenet(state)
+            else:
+                icfg = isp.SWIN_TEST
+                params = isp.init(_jax.random.PRNGKey(seed), icfg,
+                                  dtype=jnp.float32)
+            fn = _jax.jit(lambda p, x: isp.apply(p, x, icfg))
+
+            def run(img):
+                img = jnp.asarray(img, jnp.float32)
+                alpha = fn(params, img[..., :3])
+                return jnp.concatenate([img[..., :3], alpha], axis=-1)
+
+            return run
         if kind in ("pose", "openpose", "keypose"):
             from ..models import pose as pose_mod
 
