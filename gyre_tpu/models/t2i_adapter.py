@@ -124,59 +124,108 @@ def export_state(params: Params) -> dict:
 def style_init(key, *, context_dim: int = 768, vision_dim: int = 1024,
                n_tokens: int = 8, n_layers: int = 3, heads: int = 8,
                dtype=jnp.float32) -> Params:
-    """StyleAdapter (reference gyre/pipeline/t2i_adapter/adapter.py
-    StyleAdapter): learned style queries attend over CLIP-vision tokens;
-    outputs style tokens appended to the text context."""
-    ks = iter(jax.random.split(key, n_layers * 6 + 4))
+    """StyleAdapter, matching the published TencentARC checkpoint layout
+    (reference gyre/pipeline/t2i_adapter/adapter.py:173-200): learned
+    style tokens appended to the CLIP-vision token sequence, a width-space
+    transformer (fused-qkv MultiheadAttention + QuickGELU MLP), ln_post
+    over the style tokens and a width->context projection matrix."""
+    ks = iter(jax.random.split(key, n_layers * 4 + 4))
+    w = vision_dim
+    scale = w ** -0.5
     p: Params = {
-        "proj_in": L.linear_init(next(ks), vision_dim, context_dim, dtype),
-        "queries": jax.random.normal(next(ks), (n_tokens, context_dim),
-                                     dtype) * 0.02,
+        "style_embedding": jax.random.normal(
+            next(ks), (1, n_tokens, w), dtype) * scale,
+        "ln_pre": L.norm_init(w, dtype),
+        "ln_post": L.norm_init(w, dtype),
+        "proj": jax.random.normal(next(ks), (w, context_dim),
+                                  dtype) * scale,
         "blocks": [],
-        "ln_out": L.norm_init(context_dim, dtype),
-        "proj_out": L.linear_init(next(ks), context_dim, context_dim, dtype),
     }
     for _ in range(n_layers):
         p["blocks"].append({
-            "ln1": L.norm_init(context_dim, dtype),
-            "attn": {
-                "q": L.linear_init(next(ks), context_dim, context_dim, dtype),
-                "k": L.linear_init(next(ks), context_dim, context_dim, dtype),
-                "v": L.linear_init(next(ks), context_dim, context_dim, dtype),
-                "out": L.linear_init(next(ks), context_dim, context_dim,
-                                     dtype),
-            },
-            "ln2": L.norm_init(context_dim, dtype),
-            "fc1": L.linear_init(next(ks), context_dim, context_dim * 4,
-                                 dtype),
-            "fc2": L.linear_init(next(ks), context_dim * 4, context_dim,
-                                 dtype),
+            "ln1": L.norm_init(w, dtype),
+            "qkv": L.linear_init(next(ks), w, 3 * w, dtype),
+            "out": L.linear_init(next(ks), w, w, dtype),
+            "ln2": L.norm_init(w, dtype),
+            "fc1": L.linear_init(next(ks), w, w * 4, dtype),
+            "fc2": L.linear_init(next(ks), w * 4, w, dtype),
         })
     return p
 
 
 def style_apply(params: Params, vision_tokens: jax.Array,
                 heads: int = 8) -> jax.Array:
-    """vision_tokens [B, N, vision_dim] -> style tokens [B, n_tokens, ctx]."""
+    """vision_tokens [B, N, width] -> style tokens [B, n_tokens, ctx]."""
     b = vision_tokens.shape[0]
-    ctx = L.linear(params["proj_in"], vision_tokens)
-    n_tok = params["queries"].shape[0]
+    n_tok = params["style_embedding"].shape[1]
     x = jnp.concatenate(
-        [ctx, jnp.broadcast_to(params["queries"][None],
-                               (b,) + params["queries"].shape)], axis=1)
+        [vision_tokens,
+         jnp.broadcast_to(params["style_embedding"],
+                          (b,) + params["style_embedding"].shape[1:])],
+        axis=1)
+    x = L.layer_norm(params["ln_pre"], x)
     d = x.shape[-1]
     hd = d // heads
     for blk in params["blocks"]:
         h = L.layer_norm(blk["ln1"], x)
-        q = L.linear(blk["attn"]["q"], h).reshape(b, -1, heads, hd)
-        k = L.linear(blk["attn"]["k"], h).reshape(b, -1, heads, hd)
-        v = L.linear(blk["attn"]["v"], h).reshape(b, -1, heads, hd)
+        qkv = L.linear(blk["qkv"], h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, -1, heads, hd)
+        k = k.reshape(b, -1, heads, hd)
+        v = v.reshape(b, -1, heads, hd)
         o = L.attention(q, k, v).reshape(b, -1, d)
-        x = x + L.linear(blk["attn"]["out"], o)
+        x = x + L.linear(blk["out"], o)
         h = L.layer_norm(blk["ln2"], x)
-        x = x + L.linear(blk["fc2"], jax.nn.gelu(L.linear(blk["fc1"], h)))
-    style = L.layer_norm(params["ln_out"], x[:, -n_tok:])
-    return L.linear(params["proj_out"], style)
+        x = x + L.linear(blk["fc2"], L.quick_gelu(L.linear(blk["fc1"], h)))
+    style = L.layer_norm(params["ln_post"], x[:, -n_tok:])
+    return style @ params["proj"].astype(style.dtype)
+
+
+def load_style_params(state: dict, dtype=None) -> Params:
+    """Published style-adapter checkpoint (coadapter-style/t2iadapter_style
+    key names: style_embedding, ln_pre/ln_post, proj,
+    transformer_layes.{i}.attn.in_proj_weight/out_proj + ln_1/ln_2 +
+    mlp.c_fc/c_proj) -> our tree."""
+    from .load import _t_linear
+
+    def j(a):
+        a = np.asarray(a)
+        return jnp.asarray(a, dtype) if dtype else jnp.asarray(a)
+
+    def lin(w, b=None):
+        p = {"w": j(_t_linear(np.asarray(w)))}
+        if b is not None:
+            p["b"] = j(b)
+        return p
+
+    def norm(pre):
+        return {"scale": j(state[f"{pre}.weight"]),
+                "bias": j(state[f"{pre}.bias"])}
+
+    p: Params = {
+        "style_embedding": j(state["style_embedding"]),
+        "ln_pre": norm("ln_pre"),
+        "ln_post": norm("ln_post"),
+        "proj": j(state["proj"]),
+        "blocks": [],
+    }
+    i = 0
+    while f"transformer_layes.{i}.ln_1.weight" in state:
+        pre = f"transformer_layes.{i}"
+        p["blocks"].append({
+            "ln1": norm(f"{pre}.ln_1"),
+            "qkv": lin(state[f"{pre}.attn.in_proj_weight"],
+                       state[f"{pre}.attn.in_proj_bias"]),
+            "out": lin(state[f"{pre}.attn.out_proj.weight"],
+                       state[f"{pre}.attn.out_proj.bias"]),
+            "ln2": norm(f"{pre}.ln_2"),
+            "fc1": lin(state[f"{pre}.mlp.c_fc.weight"],
+                       state[f"{pre}.mlp.c_fc.bias"]),
+            "fc2": lin(state[f"{pre}.mlp.c_proj.weight"],
+                       state[f"{pre}.mlp.c_proj.bias"]),
+        })
+        i += 1
+    return p
 
 
 def coadapter_fuse(feature_sets: list[list[jax.Array]],

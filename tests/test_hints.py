@@ -203,3 +203,48 @@ def test_hintset_priority_and_fallback():
     out = hs.for_type("depth", hintset="nonexistent")
     assert out["kind"] == "controlnet"
     assert "depth" in hs.types_for("s")
+
+
+def test_style_adapter_matches_reference_oracle():
+    """StyleAdapter numeric parity against the vendored reference torch
+    implementation (used as an external oracle when present)."""
+    import importlib
+    import os
+    import sys
+
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    ref_dir = "/root/reference/gyre/pipeline/t2i_adapter"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference oracle not available")
+    # load as a synthetic package: the real package __init__ imports
+    # diffusers, which is absent here
+    spec = importlib.machinery.ModuleSpec(
+        "t2i_oracle", None, is_package=True)
+    spec.submodule_search_locations = [ref_dir]
+    pkg = importlib.util.module_from_spec(spec)
+    sys.modules["t2i_oracle"] = pkg
+    for name in ("utils", "adapter"):
+        fspec = importlib.util.spec_from_file_location(
+            f"t2i_oracle.{name}", os.path.join(ref_dir, f"{name}.py"))
+        m = importlib.util.module_from_spec(fspec)
+        sys.modules[f"t2i_oracle.{name}"] = m
+        fspec.loader.exec_module(m)
+    mod = sys.modules["t2i_oracle.adapter"]
+
+    torch.manual_seed(0)
+    net = mod.StyleAdapter(width=32, context_dim=24, num_head=4,
+                           n_layes=2, num_token=4).eval()
+    state = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params = t2i_adapter.load_style_params(state)
+
+    x = np.random.default_rng(0).standard_normal((2, 10, 32)).astype(
+        np.float32)
+    ours = np.asarray(t2i_adapter.style_apply(params, jnp.asarray(x),
+                                              heads=4))
+    with torch.no_grad():
+        theirs = net(torch.from_numpy(x)).numpy()
+    assert ours.shape == theirs.shape
+    err = np.abs(ours - theirs).max() / max(np.abs(theirs).max(), 1e-6)
+    assert err < 2e-3, err
