@@ -486,7 +486,7 @@ class EngineManager:
 
                 self._adapted[key] = run_restore
             elif spec.task in ("depth", "hinter", "edge", "segmentation",
-                               "background_removal", "pose"):
+                               "background_removal", "pose", "normal"):
                 self._adapted[key] = self._build_hinter(spec)
             else:
                 return None
@@ -524,6 +524,20 @@ class EngineManager:
             params = hinters.seg_init(_jax.random.PRNGKey(seed),
                                       dtype=jnp.float32)
             fn = _jax.jit(hinters.seg_apply)
+            return lambda img: fn(params, jnp.asarray(img, jnp.float32))
+        if kind in ("normal", "bae", "baenormal"):
+            # BAE surface-normal estimation (reference
+            # baenormal_pipeline.py over the vendored NNET)
+            from ..models import baenormal as bae
+
+            state = self.spec_state_dict(spec)
+            if state is not None:
+                params, bcfg = bae.load_baenormal(state)
+            else:
+                bcfg = bae.EFFNET_TEST
+                params = bae.init(_jax.random.PRNGKey(seed), bcfg,
+                                  dtype=jnp.float32)
+            fn = _jax.jit(lambda p, x: bae.apply(p, x, bcfg))
             return lambda img: fn(params, jnp.asarray(img, jnp.float32))
         if kind in ("background_removal", "bg", "inspyrenet"):
             # InSPyReNet saliency pyramid (reference

@@ -143,7 +143,17 @@ def _pose(img, a, manager, engine_id, seed):
         "pose estimation requires a configured pose engine")
 
 
-def _normal(img, a, *_):
+def _normal(img, a, manager=None, engine_id=None, seed=0):
+    # model-backed first: a BAE normal engine when configured (reference
+    # BaenormalPipeline); tensor fallback derives normals from luminance
+    # as a depth proxy
+    model = _task_engine(manager, "normal", engine_id) \
+        if manager is not None else None
+    if model is not None:
+        n = model(img)
+        if a.postblur:
+            n = I.gaussian_blur(n, a.postblur)
+        return n
     depth = I.to_grayscale(img)
     if a.preblur:
         depth = I.gaussian_blur(depth, a.preblur)
