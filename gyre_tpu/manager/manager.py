@@ -520,11 +520,20 @@ class EngineManager:
                 return jnp.tile(d, (1, 1, 1, 3))
 
             return run
-        if kind in ("segmentation", "seg"):
-            params = hinters.seg_init(_jax.random.PRNGKey(seed),
-                                      dtype=jnp.float32)
-            fn = _jax.jit(hinters.seg_apply)
-            return lambda img: fn(params, jnp.asarray(img, jnp.float32))
+        if kind in ("segmentation", "seg", "uniformer"):
+            # UniFormer + UPerHead (reference mmseg_pipeline.py over the
+            # vendored UniFormer backbone), ADE-palette render
+            from ..models import uniformer as uni
+
+            state = self.spec_state_dict(spec)
+            if state is not None:
+                uparams, ucfg2 = uni.load_uniformer(state)
+            else:
+                ucfg2 = uni.UNIFORMER_TEST
+                uparams = uni.init(_jax.random.PRNGKey(seed), ucfg2,
+                                   dtype=jnp.float32)
+            fn = _jax.jit(lambda p, x: uni.apply(p, x, ucfg2))
+            return lambda img: fn(uparams, jnp.asarray(img, jnp.float32))
         if kind in ("normal", "bae", "baenormal"):
             # BAE surface-normal estimation (reference
             # baenormal_pipeline.py over the vendored NNET)
@@ -640,6 +649,8 @@ class EngineManager:
 
         import numpy as _np
 
+        import threading as _threading
+
         eid = engine_id or self.default_engine_id()
         if eid is None:
             return
@@ -647,9 +658,15 @@ class EngineManager:
         sampler = (spec.options or {}).get("sampler", "k_dpmpp_2m")
         t0 = _time.time()
         pipe = self.pipeline(eid)
+        # match the SERVING configuration exactly: the servicer always
+        # passes a stop_event, which turns on chunked dispatch
+        # (first/middle/final segment programs) — warming the unchunked
+        # variant would compile a program requests never run
         _np.asarray(pipe(prompt="prewarm", height=height, width=width,
                          steps=steps, sampler=sampler, seeds=[0],
-                         guidance_scale=7.5))
+                         guidance_scale=7.5,
+                         stop_event=_threading.Event(), chunk_steps=10,
+                         output_dtype="uint8"))
         logger.info("prewarm %s (%dx%d steps=%d %s) in %.1fs", eid,
                     width, height, steps, sampler, _time.time() - t0)
 
