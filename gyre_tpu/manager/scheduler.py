@@ -64,7 +64,8 @@ class Job:
         return (id(self.pipe), kw.get("height"), kw.get("width"),
                 kw.get("steps"), kw.get("sampler"), kw.get("eta"),
                 kw.get("churn"), kw.get("churn_tmin"),
-                kw.get("churn_tmax"), kw.get("sigma_min"),
+                kw.get("churn_tmax"), kw.get("warmup_lms"),
+                kw.get("ddim_cutoff"), kw.get("sigma_min"),
                 kw.get("sigma_max"), kw.get("karras_rho"),
                 kw.get("noise_type"), kw.get("clip_layer"),
                 kw.get("tiling"),

@@ -53,6 +53,9 @@ class SamplerParams:
     churn_tmin: object = 0.0
     churn_tmax: object = 0.0    # <= 0 means unbounded (inf)
     order: int = 2              # dpm_fast / multistep order
+    # dpm++2m variants (reference schedulers/sample_dpmpp_2m.py:1-50):
+    warmup_lms: bool = False    # midpoint warmup on the first step (static)
+    ddim_cutoff: object = 0.0   # first-order fallback below this sigma
 
 
 # ----------------------------------------------------------------- helpers
@@ -346,6 +349,18 @@ def sample_dpmpp_2m(denoise, x, sigmas, noise_fn, p: SamplerParams,
         sn_over_s = jnp.where(sigma_next > 0, sigma_next / sigma, 0.0)
 
         def first(_):
+            if p.warmup_lms:
+                # LMS warmup (reference sample_dpmpp_2m warmup_lms):
+                # midpoint model evaluation replaces the euler first step
+                def warm(_):
+                    r = 0.5
+                    s_mid = t + r * h
+                    sig_mid = jnp.exp(-s_mid)
+                    x_2 = (sig_mid / sigma) * x - _expm1(-h * r) * x0
+                    return denoise(x_2, sig_mid)
+
+                x0_w = lax.cond(i == 0, warm, lambda _: x0, None)
+                return sn_over_s * x - _expm1(-h) * x0_w
             return sn_over_s * x - _expm1(-h) * x0
 
         def multi(_):
@@ -355,7 +370,10 @@ def sample_dpmpp_2m(denoise, x, sigmas, noise_fn, p: SamplerParams,
             x0_d = (1 + 1 / (2 * r)) * x0 - (1 / (2 * r)) * x0_prev
             return sn_over_s * x - _expm1(-h) * x0_d
 
-        use_multi = (i > 0) & (sigma_next > 0)
+        # ddim_cutoff: below this sigma the update falls back to first
+        # order (reference sample_dpmpp_2m ddim_cutoff)
+        use_multi = (i > 0) & (sigma_next > 0) & \
+            (sigma_next > p.ddim_cutoff)
         x_next = jnp.where(sigma_next > 0,
                            lax.cond(use_multi, multi, first, None),
                            x0)

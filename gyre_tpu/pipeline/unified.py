@@ -54,6 +54,7 @@ class StaticSpec:
     clip_cfg: object = None      # ClipGuidanceConfig (frozen, hashable)
     clip_flat: bool = False      # flat-loss schedule tripped: stop guiding
     noise_type: str = "normal"   # normal | brownian
+    warmup_lms: bool = False     # dpm++2m midpoint warmup (graph shape)
     tome_ratio: float = 0.0      # token-merging fraction (0 = off)
     resume: bool = False         # chunked dispatch: x carried in, no init
     final_chunk: bool = True     # apply final blends / return x0
@@ -278,6 +279,7 @@ class UnifiedPipeline:
         def core(unet_params, sigmas, keys, ctx_u, ctx_g, cfg_scale,
                  init_latents, mask_keep, extra_channels,
                  eta=0.0, churn=0.0, churn_tmin=0.0, churn_tmax=0.0,
+                 ddim_cutoff=0.0,
                  controlnets=(), adapter_states=None, graft=None,
                  clip_vision=None, clip_target=None, vae_params=None,
                  added_u=None, added_g=None, x_resume=None,
@@ -289,7 +291,9 @@ class UnifiedPipeline:
             # progress are independent of segment boundaries.
             p = samplers.SamplerParams(eta=eta, churn=churn,
                                        churn_tmin=churn_tmin,
-                                       churn_tmax=churn_tmax)
+                                       churn_tmax=churn_tmax,
+                                       warmup_lms=spec.warmup_lms,
+                                       ddim_cutoff=ddim_cutoff)
             shape = (spec.height, spec.width, unet_cfg.out_channels)
             sigma_start = sigmas[0]
 
@@ -493,6 +497,8 @@ class UnifiedPipeline:
                  churn: float = 0.0,
                  churn_tmin: float = 0.0,
                  churn_tmax: float = 0.0,
+                 warmup_lms: bool = False,
+                 ddim_cutoff: float = 0.0,
                  karras_rho: float | None = None,
                  sigma_min: float | None = None,
                  sigma_max: float | None = None,
@@ -771,6 +777,7 @@ class UnifiedPipeline:
             clip_guidance=float(clip_guidance_scale),
             clip_cfg=clip_cfg_obj,
             noise_type=noise_type,
+            warmup_lms=bool(warmup_lms),
             tome_ratio=float(tome_ratio),
             cfg_parallel=not cfg_sequential)
 
@@ -808,6 +815,7 @@ class UnifiedPipeline:
         core_kwargs = dict(
             eta=float(eta), churn=float(churn),
             churn_tmin=float(churn_tmin), churn_tmax=float(churn_tmax),
+            ddim_cutoff=float(ddim_cutoff),
             controlnets=tuple(controlnets),
             adapter_states=adapter_states,
             graft=graft_args,

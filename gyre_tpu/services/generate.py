@@ -58,6 +58,8 @@ class ExtractedParams:
     sigma_max: float | None = None
     karras_rho: float | None = None
     noise_type: str = "normal"
+    warmup_lms: bool = False
+    ddim_cutoff: float = 0.0
     strength: float = 1.0
     init_image: np.ndarray | None = None
     mask_image: np.ndarray | None = None
@@ -373,6 +375,8 @@ class GenerationServiceServicer:
             p.churn = float(opts["churn"])
         if p.hires_fix is None and "hires_fix" in opts:
             p.hires_fix = bool(opts["hires_fix"])
+        p.warmup_lms = bool(opts.get("warmup_lms", False))
+        p.ddim_cutoff = float(opts.get("ddim_cutoff", 0.0))
         if p.clip_guidance_scale == 0 and "clip_guidance_scale" in opts:
             p.clip_guidance_scale = float(opts["clip_guidance_scale"])
         if "clip" in opts and isinstance(opts["clip"], dict):
@@ -482,6 +486,8 @@ class GenerationServiceServicer:
                     clip_guidance_options=p.clip_guidance_options,
                     clip_layer=p.clip_layer,
                     noise_type=p.noise_type,
+                    warmup_lms=p.warmup_lms,
+                    ddim_cutoff=p.ddim_cutoff,
                     cfg_sequential=p.cfg_sequential,
                     tome_ratio=p.tome_ratio,
                     # quantize on device: PNG needs uint8 anyway and the

@@ -397,3 +397,30 @@ def test_static_file_root(tmp_path):
             assert e.code == 404
     finally:
         server.shutdown()
+
+
+@pytest.mark.smoke
+def test_gateway_generate_ndjson_streaming(base_url):
+    """Accept: application/x-ndjson streams one Answer per line as
+    produced (chunked), instead of buffering the whole array."""
+    import json as _json
+    import urllib.request
+
+    base = base_url
+    body = _json.dumps({
+        "engineId": "test-engine",
+        "prompt": [{"text": "a streamed render"}],
+        "image": {"height": 64, "width": 64, "steps": 2, "seed": [7],
+                  "samples": 2},
+    }).encode()
+    req = urllib.request.Request(
+        base + "/grpcgateway/GenerationService/Generate", data=body,
+        headers={"Content-Type": "application/json",
+                 "Accept": "application/x-ndjson"})
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        assert "ndjson" in resp.headers.get("Content-Type", "")
+        lines = [ln for ln in resp.read().splitlines() if ln.strip()]
+    answers = [_json.loads(ln) for ln in lines]
+    assert len(answers) == 2
+    for a in answers:
+        assert a["artifacts"][0]["type"] == "ARTIFACT_IMAGE"

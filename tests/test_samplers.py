@@ -210,3 +210,38 @@ def test_proto_sampler_map_complete():
     for name, value in g.DiffusionSampler.items():
         assert value in S.PROTO_SAMPLERS, f"unmapped sampler {name}"
         assert S.PROTO_SAMPLERS[value] in S.SAMPLERS
+
+
+def test_dpmpp_2m_variant_options():
+    """Reference sample_dpmpp_2m options (schedulers/sample_dpmpp_2m.py):
+    warmup_lms adds a midpoint warmup evaluation on the first step;
+    ddim_cutoff falls back to first order below the cutoff sigma. Both
+    must change the trajectory and stay finite; cutoff larger than
+    sigma_max must reduce to the pure first-order (euler-exp) result."""
+    import jax.numpy as jnp
+
+    import numpy as np
+
+    from gyre_tpu.pipeline import samplers
+
+    def denoise(x, sigma):
+        return x / (1.0 + jnp.asarray(sigma) ** 2) ** 0.5
+
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 8, 8, 4),
+                    jnp.float32)
+    sigmas = jnp.asarray(np.geomspace(10.0, 0.1, 8).tolist() + [0.0],
+                         jnp.float32)
+
+    def noise_fn(i, tag):
+        return jnp.zeros_like(x)
+
+    base = samplers.sample("k_dpmpp_2m", denoise, x, sigmas, noise_fn,
+                           samplers.SamplerParams())
+    warm = samplers.sample("k_dpmpp_2m", denoise, x, sigmas, noise_fn,
+                           samplers.SamplerParams(warmup_lms=True))
+    cut = samplers.sample("k_dpmpp_2m", denoise, x, sigmas, noise_fn,
+                          samplers.SamplerParams(ddim_cutoff=0.5))
+    for out in (base, warm, cut):
+        assert np.isfinite(np.asarray(out)).all()
+    assert np.abs(np.asarray(warm) - np.asarray(base)).max() > 1e-7
+    assert np.abs(np.asarray(cut) - np.asarray(base)).max() > 1e-7
