@@ -243,7 +243,18 @@ class HttpHandler(BaseHTTPRequestHandler):
         if path == "/status":
             from ..utils.timing import STATS
 
+            disp = getattr(self.manager, "dispatcher", None)
+            dstats = {}
+            if disp is not None:
+                sizes = [r for (r, _) in disp.dispatched]
+                dstats = {
+                    "batches": len(sizes),
+                    "coalesced_requests": disp.coalesced_requests,
+                    "max_merged_requests": max(sizes, default=0),
+                    "dispatched": disp.dispatched[-50:],
+                }
             return self._send_json({"engines": self.manager.status(),
+                                    "dispatcher": dstats,
                                     "timings": STATS.summary()})
         if path in ("/profile/start", "/profile/stop"):
             from ..utils import timing

@@ -17,6 +17,7 @@ The TPU-native re-design of the reference's EngineManager
 from __future__ import annotations
 
 import logging
+import os
 import threading
 from contextlib import contextmanager
 from dataclasses import dataclass, field
@@ -263,9 +264,22 @@ class EngineManager:
                     (spec.options or {}).get("graft")
                 if graft_id:
                     graft_ms = self.modelset(graft_id)
-                self._pipelines[engine_id] = UnifiedPipeline(
+                pipe = UnifiedPipeline(
                     self.modelset(engine_id),
                     compute_dtype=self.compute_dtype, graft_ms=graft_ms)
+                # `clip:` engine/model key -> real CLIP towers for
+                # guidance & style hints (reference template key `clip:
+                # "@clip-common"`, gyre/config/templates/
+                # stable-diffusion-v1.yaml:26); loaded lazily on first
+                # guidance/style request
+                clip_ref = spec.params.get("clip") or \
+                    spec.params.get("clip_model")
+                if clip_ref is None and isinstance(spec.model, dict):
+                    clip_ref = spec.model.get("clip")
+                if clip_ref:
+                    pipe.clip_source = (
+                        lambda ref=clip_ref: self.clip_model(ref))
+                self._pipelines[engine_id] = pipe
         return self._pipelines[engine_id]
 
     def adapted_pipeline(self, engine_id: str, loras=None, tis=None):
@@ -572,9 +586,16 @@ class EngineManager:
         if kind in ("pose", "openpose", "keypose"):
             from ..models import pose as pose_mod
 
-            params = pose_mod.init(_jax.random.PRNGKey(seed),
-                                   dtype=jnp.float32)
-            fn = _jax.jit(pose_mod.estimate_and_render_multi)
+            state = self.spec_state_dict(spec)
+            if state is not None:
+                # published openpose body checkpoint
+                # (@body-pose-network, config/models/hinters.yaml)
+                params = pose_mod.load_body(state, dtype=jnp.float32)
+                fn = _jax.jit(pose_mod.estimate_and_render_body)
+            else:
+                params = pose_mod.init(_jax.random.PRNGKey(seed),
+                                       dtype=jnp.float32)
+                fn = _jax.jit(pose_mod.estimate_and_render_multi)
 
             def run(img):
                 return fn(params, jnp.asarray(img, jnp.float32))
@@ -677,8 +698,6 @@ class EngineManager:
         gyre/manager.py:1283-1288)."""
         if hasattr(self, "_safety_checker"):
             return self._safety_checker
-        import os
-
         from ..pipeline.safety import SafetyChecker
 
         ref = None
@@ -716,21 +735,30 @@ class EngineManager:
 
     def load_model_entry(self, ref: str):
         """'@model-id' registry reference or direct path/repo -> (state
-        dict, config entry). The entry's model/subfolder/allow_patterns
-        keys drive weight resolution (reference model-config loading,
-        gyre/manager.py:1602-1698)."""
+        dict, config entry, resolved path). The entry's model/subfolder/
+        allow_patterns keys drive weight resolution (reference
+        model-config loading, gyre/manager.py:1602-1698)."""
         from ..models.load import read_state_dict
 
         from .weights import WeightResolver
 
         entry: dict = {}
         src = ref
-        if isinstance(ref, str) and ref.startswith("@"):
-            mid = ref[1:]
+        seen: set[str] = set()
+        # follow '@a' -> '@b' alias chains (reference clip-common ->
+        # @laion-clip-h, gyre/config/models/clip.yaml); later entries in
+        # the chain keep the first entry's subfolder/patterns when unset
+        while isinstance(src, str) and src.startswith("@"):
+            mid = src[1:]
+            if mid in seen:
+                raise ValueError(f"model_id reference cycle at {mid!r}")
+            seen.add(mid)
             if mid not in self.model_entries:
                 raise KeyError(f"unknown model_id {mid!r}")
-            entry = self.model_entries[mid]
-            src = entry.get("model") or entry.get("source")
+            nxt = self.model_entries[mid]
+            entry = {**nxt, **{k: v for k, v in entry.items()
+                               if k in ("subfolder", "allow_patterns")}}
+            src = nxt.get("model") or nxt.get("source")
             if not isinstance(src, str):
                 raise ValueError(f"model_id {mid!r} has no model reference")
         if not hasattr(self, "_weight_resolver"):
@@ -738,7 +766,50 @@ class EngineManager:
         path = self._weight_resolver.resolve(
             src, subfolder=entry.get("subfolder"),
             allow_patterns=entry.get("allow_patterns"))
-        return read_state_dict(path), entry
+        return read_state_dict(path), entry, path
+
+    def clip_model(self, ref: str):
+        """Full CLIPModel (text+vision towers with joint-space
+        projections) for guidance / style hints, memoized per ref — the
+        reference's `clip` model type (gyre/manager.py:1540-1560,
+        config/models/clip.yaml). Returns (text_params, text_cfg,
+        vision_params, vision_cfg)."""
+        if not hasattr(self, "_clip_models"):
+            self._clip_models = {}
+        if ref in self._clip_models:
+            return self._clip_models[ref]
+        with self._load_lock:
+            if ref in self._clip_models:
+                return self._clip_models[ref]
+            from ..models.load import load_clip_model_params
+
+            state, entry, path = self.load_model_entry(ref)
+            act = entry.get("activation")
+            t_heads = v_heads = None
+            if os.path.isdir(path):
+                # transformers config.json records hidden_act (openai
+                # quick_gelu vs laion-OpenCLIP gelu) and head counts —
+                # neither derivable from the weights
+                cfg_file = os.path.join(path, "config.json")
+                if os.path.exists(cfg_file):
+                    import json
+
+                    with open(cfg_file) as f:
+                        cj = json.load(f)
+                    tc = cj.get("text_config") or {}
+                    vc = cj.get("vision_config") or {}
+                    act = act or tc.get("hidden_act") or cj.get("hidden_act")
+                    t_heads = tc.get("num_attention_heads")
+                    v_heads = vc.get("num_attention_heads")
+            loaded = load_clip_model_params(
+                state, dtype=self.compute_dtype, activation=act,
+                text_heads=t_heads, vision_heads=v_heads)
+            self._clip_models[ref] = loaded
+            logger.info("clip model %s loaded (text %dL/%dd, vision %dL/%dd"
+                        " -> joint %dd)", ref, loaded[1].num_layers,
+                        loaded[1].hidden_size, loaded[3].num_layers,
+                        loaded[3].hidden_size, loaded[3].projection_dim)
+            return loaded
 
     def hint_model(self, hint_type: str, engine_id: str | None = None):
         """Conditioning model for a hint type, matched to the engine's

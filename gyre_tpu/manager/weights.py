@@ -212,11 +212,19 @@ class WeightResolver:
             out.append(Candidate("local", local, os.path.isdir(local)))
             plain = os.path.join(base, repo.split("/")[-1])
             out.append(Candidate("local", plain, os.path.isdir(plain)))
-        snap = os.path.join(self.hf_cache, "hub",
-                            "models--" + repo.replace("/", "--"),
-                            "snapshots")
+        hub_dir = os.path.join(self.hf_cache, "hub",
+                               "models--" + repo.replace("/", "--"))
+        snap = os.path.join(hub_dir, "snapshots")
         if os.path.isdir(snap):
             revs = sorted(os.listdir(snap))
+            # prefer the commit refs/main points at (a lexicographic pick
+            # can land on a stale revision in multi-snapshot caches)
+            ref_main = os.path.join(hub_dir, "refs", "main")
+            if os.path.exists(ref_main):
+                with open(ref_main) as f:
+                    head = f.read().strip()
+                if head in revs:
+                    revs = [r for r in revs if r != head] + [head]
             if revs:
                 out.append(Candidate("hf_cache",
                                      os.path.join(snap, revs[-1]), True))

@@ -185,6 +185,21 @@ SDXL_TEST = ModelSetConfig(
     unet=UNET_TEST_XL, vae=VAE_TEST, text_encoders=(CLIP_TEST, CLIP_TEST2),
     clip_layer=-2, sample_size=8,
 )
+# SDXL refiner: single OpenCLIP-bigG tower, 4-level unet, 5 time_ids
+# (orig/crop sizes + aesthetic score) — BASELINE config 5's second stage
+SDXL_REFINER = ModelSetConfig(
+    unet=UNET_SDXL_REFINER, vae=VAE_SDXL,
+    text_encoders=(OPENCLIP_BIGG,), clip_layer=-2, sample_size=128,
+)
+UNET_TEST_XL_REFINER = dataclasses.replace(
+    UNET_TEST_XL,
+    cross_attention_dim=32,      # single test tower
+    addition_time_ids=5,
+)
+SDXL_REFINER_TEST = ModelSetConfig(
+    unet=UNET_TEST_XL_REFINER, vae=VAE_TEST, text_encoders=(CLIP_TEST2,),
+    clip_layer=-2, sample_size=8,
+)
 
 PRESETS: dict[str, ModelSetConfig] = {
     "sd15": SD15,
@@ -192,8 +207,10 @@ PRESETS: dict[str, ModelSetConfig] = {
     "sd21": SD21,
     "sd21-base": SD21_BASE,
     "sdxl": SDXL,
+    "sdxl-refiner": SDXL_REFINER,
     "test": SD_TEST,
     "test-xl": SDXL_TEST,
+    "test-xl-refiner": SDXL_REFINER_TEST,
 }
 
 

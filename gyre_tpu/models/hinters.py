@@ -456,11 +456,13 @@ def _dexi_maxpool(x):
 
 
 def _dexi_dense_block(blk, x, skip):
+    # published dense-layer padding quirk: conv1 pad=2, conv2 pad=0
+    # (net same-size; NOT 1/1 — border pixels differ)
     for layer in blk:
         h = jax.nn.relu(x)
-        h = L.conv2d(layer["conv1"], h)
+        h = L.conv2d(layer["conv1"], h, padding=[(2, 2), (2, 2)])
         h = jax.nn.relu(h)
-        h = L.conv2d(layer["conv2"], h)
+        h = L.conv2d(layer["conv2"], h, padding="VALID")
         x = 0.5 * (h + skip)
     return x
 
@@ -563,8 +565,10 @@ def load_dexined_params(state: dict, dtype=None) -> Params:
                    conv_bn("block_1.conv2", "block_1.bn2")],
         "block2": [conv_bn("block_2.conv1", "block_2.bn1"),
                    conv_bn("block_2.conv2", "block_2.bn2")],
+        # the published model names its four side blocks 1/2/3/5 —
+        # there is no side_4 in the checkpoint
         "side": [conv_bn(f"side_{i}.conv", f"side_{i}.bn")
-                 for i in range(1, 5)],
+                 for i in (1, 2, 3, 5)],
         "pre": {str(i): conv_bn(f"pre_dense_{i}.conv", f"pre_dense_{i}.bn")
                 for i in (2, 3, 4, 5, 6)},
         "dense": [], "up": [],

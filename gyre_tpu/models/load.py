@@ -424,8 +424,11 @@ def load_clip_vision_params(state: dict, dtype=None,
     n_layers = 0
     while f"{pre}encoder.layers.{n_layers}.layer_norm1.weight" in state:
         n_layers += 1
-    # head count isn't in the weights; CLIP uses 64-dim heads
-    heads = num_heads or max(hidden // 64, 1)
+    # head count isn't in the weights. Published CLIP/OpenCLIP vision
+    # towers: ViT-B 768/12, ViT-L 1024/16, ViT-H 1280/16, ViT-g 1408/16,
+    # ViT-bigG 1664/16 (head_dim is NOT uniformly 64 — H is 80, g is 88)
+    vision_heads = {768: 12, 1024: 16, 1280: 16, 1408: 16, 1664: 16}
+    heads = num_heads or vision_heads.get(hidden) or max(hidden // 64, 1)
     fc1 = state[f"{pre}encoder.layers.0.mlp.fc1.weight"]
     inter = int(fc1.shape[0])
     # visual_projection sits above the tower prefix (or absent)
@@ -478,6 +481,55 @@ def load_clip_vision_params(state: dict, dtype=None,
         p["visual_projection"] = {
             "w": np.eye(hidden, dtype=np.float32)}
     return p, cfg
+
+
+def load_clip_model_params(state: dict, dtype=None,
+                           activation: str | None = None,
+                           text_heads: int | None = None,
+                           vision_heads: int | None = None):
+    """Load a full transformers `CLIPModel` state dict (both towers plus
+    the joint-space projections) — the reference's `clip` model type loads
+    the same weights into CLIPModel + CLIPTokenizer
+    (gyre/manager.py:1540-1560) and CLIP guidance compares the towers'
+    *projected* embeddings (gyre/pipeline/unet/clipguided.py:94-420).
+
+    Returns (text_params, text_cfg, vision_params, vision_cfg): both
+    configs shape-derived, both param trees including their projection
+    heads so image/text embeddings land in the shared joint space.
+    """
+    from .configs import CLIPTextConfig
+
+    tpre = "text_model."
+    tok_key = f"{tpre}embeddings.token_embedding.weight"
+    if tok_key not in state:
+        raise KeyError("no CLIP text tower (text_model.*) in state dict")
+    vocab, hidden = (int(s) for s in state[tok_key].shape)
+    n_pos = int(state[f"{tpre}embeddings.position_embedding.weight"].shape[0])
+    n_layers = 0
+    while f"{tpre}encoder.layers.{n_layers}.layer_norm1.weight" in state:
+        n_layers += 1
+    inter = int(state[f"{tpre}encoder.layers.0.mlp.fc1.weight"].shape[0])
+    proj_dim = int(state["text_projection.weight"].shape[0]) \
+        if "text_projection.weight" in state else 0
+    # activation isn't in the weights: openai CLIP uses quick_gelu,
+    # laion OpenCLIP conversions use gelu — callers with a config.json
+    # pass it through (manager reads hidden_act when available)
+    act = activation or "quick_gelu"
+    # CLIP text towers uniformly use 64-dim heads (512/8, 768/12,
+    # 1024/16, 1280/20-bigG); EOS is the top BPE token id
+    text_cfg = CLIPTextConfig(
+        vocab_size=vocab, hidden_size=hidden, num_layers=n_layers,
+        num_heads=text_heads or max(hidden // 64, 1),
+        intermediate_size=inter,
+        max_position_embeddings=n_pos, projection_dim=proj_dim,
+        activation=act, eos_token_id=vocab - 1)
+    text_params = load_clip_params(state, text_cfg, dtype)
+    vision_params, vision_cfg = load_clip_vision_params(
+        state, dtype, num_heads=vision_heads)
+    if act != vision_cfg.activation:
+        import dataclasses as _dc
+        vision_cfg = _dc.replace(vision_cfg, activation=act)
+    return text_params, text_cfg, vision_params, vision_cfg
 
 
 # ------------------------------------------------------------------- export

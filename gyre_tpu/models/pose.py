@@ -159,9 +159,11 @@ def estimate_and_render(params: Params, images: jax.Array) -> jax.Array:
 
 
 def top_peaks(maps: jax.Array, max_people: int = 8,
-              nms_window: int = 3):
+              nms_window: int = 3, apply_sigmoid: bool = True):
     """Per-keypoint spatial peaks: 3x3 NMS then top_k, static shapes.
-    maps [B,h,w,K] logits -> (xy [B,K,P,2] in 0..1, conf [B,K,P])."""
+    maps [B,h,w,K] -> (xy [B,K,P,2] in 0..1, conf [B,K,P]).
+    apply_sigmoid=False for checkpoints whose heatmaps are already
+    [0,1]-valued (the MSE-trained openpose body model)."""
     b, h, w, k = maps.shape
     pooled = jax.lax.reduce_window(
         maps, -jnp.inf, jax.lax.max,
@@ -171,7 +173,9 @@ def top_peaks(maps: jax.Array, max_people: int = 8,
     vals, idx = jax.lax.top_k(flat, max_people)          # [B,K,P]
     ys = (idx // w).astype(jnp.float32) / max(h - 1, 1)
     xs = (idx % w).astype(jnp.float32) / max(w - 1, 1)
-    return jnp.stack([xs, ys], axis=-1), jax.nn.sigmoid(vals)
+    conf = jax.nn.sigmoid(vals) if apply_sigmoid \
+        else jnp.where(jnp.isfinite(vals), vals, 0.0)
+    return jnp.stack([xs, ys], axis=-1), conf
 
 
 def _paf_score(paf_x, paf_y, pa, pb, samples: int = 10):
@@ -265,6 +269,144 @@ def estimate_and_render_multi(params: Params, images: jax.Array,
 
     def one(xy_b, conf_b, paf_b):
         pa, pb, ok = match_limbs(xy_b, conf_b, paf_b)
+        return render_limbs(pa, pb, ok, images.shape[1], images.shape[2])
+
+    return jax.vmap(one)(xy, conf, pafs)
+
+
+# ----------------------------------------- OpenPose body model (CMU CPM)
+# The published `body_pose_model.pth` architecture the reference drives
+# through controlnet-era annotators (reference pose hinting,
+# gyre/pipeline/hinters/mmpose_pipeline.py renders the same openpose
+# skeleton surface): VGG19-derived stem at stride 8 feeding 6 refinement
+# stages with two branches — L1 part-affinity fields (38ch), L2 keypoint
+# confidence maps (19ch = 18 joints + background).
+
+# stem spec: (name, c_in, c_out) convs, "pool" = 2x2/2 max-pool
+BODY_STEM = [
+    ("conv1_1", 3, 64), ("conv1_2", 64, 64), "pool",
+    ("conv2_1", 64, 128), ("conv2_2", 128, 128), "pool",
+    ("conv3_1", 128, 256), ("conv3_2", 256, 256),
+    ("conv3_3", 256, 256), ("conv3_4", 256, 256), "pool",
+    ("conv4_1", 256, 512), ("conv4_2", 512, 512),
+    ("conv4_3_CPM", 512, 256), ("conv4_4_CPM", 256, 128),
+]
+N_PAF = 2 * len(LIMBS) + 4      # 38 channels (19 limb pairs incl. ears)
+N_HEAT = N_KEYPOINTS + 1        # + background
+
+# PAF channel pair per LIMBS entry, in the checkpoint's native channel
+# order (the openpose mapIdx table shifted by -19)
+LIMB_PAF = [(12, 13), (20, 21), (14, 15), (16, 17), (22, 23), (24, 25),
+            (0, 1), (2, 3), (4, 5), (6, 7), (8, 9), (10, 11), (28, 29),
+            (30, 31), (34, 35), (32, 33), (36, 37)]
+
+
+def _stage_spec(stage: int, out_ch: int):
+    """(name, c_in, c_out, ksize) conv list for one refinement branch."""
+    if stage == 1:
+        b = "L1" if out_ch == N_PAF else "L2"
+        return [(f"conv5_1_CPM_{b}", 128, 128, 3),
+                (f"conv5_2_CPM_{b}", 128, 128, 3),
+                (f"conv5_3_CPM_{b}", 128, 128, 3),
+                (f"conv5_4_CPM_{b}", 128, 512, 1),
+                (f"conv5_5_CPM_{b}", 512, out_ch, 1)]
+    b = "L1" if out_ch == N_PAF else "L2"
+    c_in = 128 + N_PAF + N_HEAT
+    names = [(f"Mconv1_stage{stage}_{b}", c_in, 128, 7)]
+    for i in range(2, 6):
+        names.append((f"Mconv{i}_stage{stage}_{b}", 128, 128, 7))
+    names.append((f"Mconv6_stage{stage}_{b}", 128, 128, 1))
+    names.append((f"Mconv7_stage{stage}_{b}", 128, out_ch, 1))
+    return names
+
+
+def body_init(key, dtype=jnp.float32) -> Params:
+    """Random-init OpenPose body params (same tree layout as load_body)."""
+    ks = iter(jax.random.split(key, 200))
+    stem = [L.conv_init(next(ks), 3, 3, ci, co, dtype)
+            for e in BODY_STEM if e != "pool" for (_, ci, co) in [e]]
+    stages = []
+    for s in range(1, 7):
+        branch = {}
+        for tag, out_ch in (("paf", N_PAF), ("heat", N_HEAT)):
+            branch[tag] = [L.conv_init(next(ks), k, k, ci, co, dtype)
+                           for (_, ci, co, k) in _stage_spec(s, out_ch)]
+        stages.append(branch)
+    return {"stem": stem, "stages": stages}
+
+
+def load_body(state: dict, dtype=None) -> Params:
+    """Load the published openpose body checkpoint (`body_pose_model.pth`
+    key layout: model0.conv1_1.* stem, model{s}_{1,2}.{conv5_*_CPM_L%,
+    Mconv*_stage%_L%}.* branches). Consumes 100% of keys."""
+    from .load import KeyMapper, _conv_p
+
+    if not any(k.startswith("model0.") for k in state):
+        # DataParallel-era checkpoints prefix "module."
+        state = {k.split("module.", 1)[-1]: v for k, v in state.items()}
+    m = KeyMapper(state, dtype)
+    stem = [_conv_p(m, f"model0.{name}")
+            for e in BODY_STEM if e != "pool" for (name, _, _) in [e]]
+    stages = []
+    for s in range(1, 7):
+        branch = {}
+        for bi, (tag, out_ch) in enumerate((("paf", N_PAF),
+                                            ("heat", N_HEAT)), start=1):
+            pre = f"model{s}_{bi}"
+            branch[tag] = [_conv_p(m, f"{pre}.{name}")
+                           for (name, _, _, _) in _stage_spec(s, out_ch)]
+        stages.append(branch)
+    return {"stem": stem, "stages": stages}
+
+
+def _max_pool_2x(x: jax.Array) -> jax.Array:
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                 (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+
+def _body_branch(convs, x):
+    for p in convs[:-1]:
+        x = jax.nn.relu(L.conv2d(p, x))
+    return L.conv2d(convs[-1], x)
+
+
+def body_apply(params: Params, images: jax.Array):
+    """images [B,H,W,3] RGB in [0,1] -> (heat [B,H/8,W/8,18],
+    pafs [B,H/8,W/8,2*len(LIMBS)] permuted into LIMBS order).
+
+    Input convention matches the published annotator: BGR, value-shifted
+    by -0.5 (caffe-era preprocessing).
+    """
+    x = images[..., ::-1].astype(jnp.float32) - 0.5
+    it = iter(params["stem"])
+    for e in BODY_STEM:
+        if e == "pool":
+            x = _max_pool_2x(x)
+        else:
+            x = jax.nn.relu(L.conv2d(next(it), x))
+    feat = x
+    paf = _body_branch(params["stages"][0]["paf"], feat)
+    heat = _body_branch(params["stages"][0]["heat"], feat)
+    for branch in params["stages"][1:]:
+        inp = jnp.concatenate([paf, heat, feat], axis=-1)
+        paf = _body_branch(branch["paf"], inp)
+        heat = _body_branch(branch["heat"], inp)
+    perm = np.asarray(LIMB_PAF).reshape(-1)
+    return heat[..., :N_KEYPOINTS], paf[..., perm]
+
+
+def estimate_and_render_body(params: Params, images: jax.Array,
+                             max_people: int = 8) -> jax.Array:
+    """Checkpoint-weight pose hinter: openpose body CPM -> multi-person
+    PAF matching -> skeleton canvas. Heatmap values are already in [0,1]
+    (MSE-trained Gaussian peaks), so confidences are used raw with the
+    published thresholds (thre1=0.1, thre2=0.05)."""
+    maps, pafs = body_apply(params, images)
+    xy, conf = top_peaks(maps, max_people, apply_sigmoid=False)
+
+    def one(xy_b, conf_b, paf_b):
+        pa, pb, ok = match_limbs(xy_b, conf_b, paf_b,
+                                 conf_threshold=0.1, paf_threshold=0.05)
         return render_limbs(pa, pb, ok, images.shape[1], images.shape[2])
 
     return jax.vmap(one)(xy, conf, pafs)

@@ -497,15 +497,13 @@ def sample_ddpm(denoise, x, sigmas, noise_fn, p: SamplerParams,
         start=start, steps=steps, carry=carry, return_carry=return_carry)
 
 
-def _dpm_fast_sigmas(sigma_min, sigma_max, n):
-    t = np.linspace(-np.log(sigma_max), -np.log(sigma_min), n + 1)
-    return np.append(np.exp(-t), 0.0)
-
-
 def sample_dpm_fast(denoise, x, sigmas, noise_fn, p: SamplerParams,
                     start=0, steps=None, carry=None, return_carry=False):
-    """DPM-Solver fast: uniform-in-lambda steps, solved with 2M updates.
-    The sigma ramp is rebuilt uniform in log-sigma."""
+    """DPM-Solver fast: uniform-in-lambda steps solved with 2M updates.
+    The uniform-in-lambda ramp itself is built by schedule.build_sigmas
+    (uniform_lambda=True), selected per-sampler in UnifiedPipeline — this
+    function then runs multistep DPM-Solver++(2M) over it (k-diffusion
+    sample_dpm_fast semantics: fixed step count, exponential t-spacing)."""
     return sample_dpmpp_2m(denoise, x, sigmas, noise_fn, p, start=start,
                            steps=steps, carry=carry,
                            return_carry=return_carry)

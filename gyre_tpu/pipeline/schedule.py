@@ -112,16 +112,25 @@ def build_sigmas(schedule: DiffusionSchedule, steps: int, *,
                  strength: float = 1.0,
                  karras_rho: float | None = None,
                  sigma_min: float | None = None,
-                 sigma_max: float | None = None) -> np.ndarray:
+                 sigma_max: float | None = None,
+                 uniform_lambda: bool = False) -> np.ndarray:
     """The sigma ramp for a request: [steps*strength + 1] descending, last 0.
 
     img2img runs the tail of the full-step ramp (strength in (0,1]),
     matching the reference's schedule-truncation semantics
     (gyre/pipeline/common_scheduler.py:477-514, unified_pipeline img2img).
+
+    uniform_lambda: steps uniform in lambda = -log(sigma) — the dpm_fast
+    ramp (k-diffusion get_sigmas_exponential semantics used by
+    sample_dpm_fast's t-spacing, reference sampler registry
+    gyre/pipeline/samplers.py:24-67).
     """
     smin = sigma_min if sigma_min else schedule.sigma_min
     smax = sigma_max if sigma_max else schedule.sigma_max
-    if karras_rho:
+    if uniform_lambda:
+        lam = np.linspace(-np.log(smax), -np.log(smin), steps)
+        full = np.append(np.exp(-lam), 0.0)
+    elif karras_rho:
         full = karras_ramp(smin, smax, steps, karras_rho)
     else:
         t = np.linspace(schedule.num_train_timesteps - 1, 0.0, steps)

@@ -95,25 +95,71 @@ class UnifiedPipeline:
                             if graft_ms is not None else None)
         self._clip_vision = None      # lazy (params, cfg) for guidance
         self._clip_vision_cfg = None
+        self._clip_text = None        # full-CLIP text tower (joint space)
+        self._clip_text_cfg = None
+        # set by the manager when the engine configures `clip:` — a
+        # callable returning (text_params, text_cfg, vision_params,
+        # vision_cfg) for a real CLIPModel (reference clip-common,
+        # gyre/config/models/clip.yaml + gyre/manager.py:1540-1560)
+        self.clip_source = None
 
     def clip_vision(self):
-        """CLIP vision tower for guidance/safety; random-init when no
-        weights are configured (same compute graph)."""
+        """CLIP vision tower for guidance/style hints. Loads the real
+        CLIPModel configured via the engine's `clip:` key (reference
+        gyre/pipeline/unet/clipguided.py:94-420 consumes it); random-init
+        is a logged last-resort fallback so the compute graph stays
+        runnable in weightless test setups."""
         if self._clip_vision is None:
             from ..models import clip as clip_mod
 
-            import dataclasses as dc
+            if self.clip_source is not None:
+                (self._clip_text, self._clip_text_cfg,
+                 self._clip_vision, self._clip_vision_cfg) = \
+                    self.clip_source()
+            else:
+                import logging
 
-            text_dim = self.ms.config.text_encoders[0].hidden_size
-            base_cfg = (clip_mod.CLIP_VISION_L if text_dim >= 768
-                        else clip_mod.CLIP_VISION_TEST)
-            cfg = dc.replace(base_cfg, projection_dim=text_dim)
-            self._clip_vision_cfg = cfg
-            self._clip_vision = clip_mod.vision_init(
-                jax.random.PRNGKey(0), cfg,
-                jnp.float32 if self.compute_dtype == jnp.float32
-                else jnp.bfloat16)
+                import dataclasses as dc
+
+                logging.getLogger(__name__).warning(
+                    "engine %s has no `clip:` model configured — CLIP "
+                    "guidance / style hints will use a RANDOM-INIT vision"
+                    " tower (noise steering). Configure a clip model "
+                    "(e.g. clip: \"@clip-common\").", self.ms.id)
+                text_dim = self.ms.config.text_encoders[0].hidden_size
+                base_cfg = (clip_mod.CLIP_VISION_L if text_dim >= 768
+                            else clip_mod.CLIP_VISION_TEST)
+                cfg = dc.replace(base_cfg, projection_dim=text_dim)
+                self._clip_vision_cfg = cfg
+                self._clip_vision = clip_mod.vision_init(
+                    jax.random.PRNGKey(0), cfg,
+                    jnp.float32 if self.compute_dtype == jnp.float32
+                    else jnp.bfloat16)
         return self._clip_vision
+
+    def clip_text_target(self, text: str, batch: int) -> jax.Array:
+        """Normalized joint-space text embedding target for CLIP
+        guidance. With a real CLIP model: the CLIP text tower's projected
+        pooled output (the space visual_projection maps images into,
+        reference clipguided.py get_text_embedding). Fallback without
+        one: the SD text encoder's pooled output (matches the random
+        tower's projection_dim hack above)."""
+        from ..models import clip as clip_mod
+        from . import prompts
+
+        self.clip_vision()  # ensures towers are loaded
+        ids, _, _ = prompts.tokenize_weighted(
+            self.ms.tokenizer, prompts.WeightedPrompt.parse(text or ""))
+        if self._clip_text is not None:
+            out = clip_mod.apply(self._clip_text, self._clip_text_cfg,
+                                 jnp.asarray(ids[:1]))
+        else:
+            out = clip_mod.apply(self.ms.text_params[0],
+                                 self.ms.config.text_encoders[0],
+                                 jnp.asarray(ids[:1]))
+        pooled = out["pooled"].astype(jnp.float32)
+        pooled = pooled / jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+        return jnp.tile(pooled, (batch, 1))
 
     # ------------------------------------------------------------- helpers
 
@@ -553,7 +599,8 @@ class UnifiedPipeline:
         sigmas_np = sched.build_sigmas(
             self.schedule, steps,
             strength=1.0 if full_strength else min(strength, 1.0),
-            karras_rho=karras_rho, sigma_min=sigma_min, sigma_max=sigma_max)
+            karras_rho=karras_rho, sigma_min=sigma_min, sigma_max=sigma_max,
+            uniform_lambda=(sampler == "dpm_fast"))
         sigmas = jnp.asarray(sigmas_np, jnp.float32)
 
         # prompts may be per-sample lists (request coalescing merges
@@ -786,31 +833,32 @@ class UnifiedPipeline:
         if clip_guidance_scale > 0:
             clip_vision_params = self.clip_vision()
             cg_prompt = prompt_list[0] if prompt_list else prompt
-            ids, _, _ = prompts.tokenize_weighted(
-                self.ms.tokenizer,
-                prompts.WeightedPrompt.parse(cg_prompt or ""))
-            te_cfg = self.ms.config.text_encoders[0]
-            from ..models import clip as clip_mod
+            clip_target = self.clip_text_target(cg_prompt or "", batch)
 
-            out = clip_mod.apply(self.ms.text_params[0], te_cfg,
-                                 jnp.asarray(ids[:1]))
-            pooled = out["pooled"]
-            pooled = pooled / jnp.linalg.norm(pooled, axis=-1, keepdims=True)
-            clip_target = jnp.tile(pooled, (batch, 1))
-
-        # SDXL "text_time" conditioning: pooled text + size/crop time ids
+        # SDXL "text_time" conditioning: pooled text + size/crop time ids.
+        # The 5-id refiner convention replaces target-size ids with an
+        # aesthetic score (published defaults 6.0 cond / 2.5 uncond)
         added_u = added_g = None
         if ms.config.unet.addition_embed_dim:
-            tids = jnp.tile(jnp.asarray(
-                [[height, width, 0, 0, height, width]], jnp.float32),
-                (batch, 1))[:, :ms.config.unet.addition_time_ids]
+            n_ids = ms.config.unet.addition_time_ids
+            if n_ids == 5:
+                tids_g = jnp.asarray([[height, width, 0, 0, 6.0]],
+                                     jnp.float32)
+                tids_u = jnp.asarray([[height, width, 0, 0, 2.5]],
+                                     jnp.float32)
+            else:
+                tids_g = tids_u = jnp.asarray(
+                    [[height, width, 0, 0, height, width]],
+                    jnp.float32)[:, :n_ids]
+            tids_g = jnp.tile(tids_g, (batch, 1))
+            tids_u = jnp.tile(tids_u, (batch, 1))
             gp = prompt_list[0] if prompt_list else (prompt or "")
             gn = (neg_list[0] if neg_list else negative_prompt) or ""
             pooled_g = jnp.tile(self.encode_pooled(gp), (batch, 1))
-            added_g = {"text_embeds": pooled_g, "time_ids": tids}
+            added_g = {"text_embeds": pooled_g, "time_ids": tids_g}
             pooled_u = jnp.tile(self.encode_pooled(gn), (batch, 1)) \
                 if guided else pooled_g
-            added_u = {"text_embeds": pooled_u, "time_ids": tids}
+            added_u = {"text_embeds": pooled_u, "time_ids": tids_u}
 
         core_kwargs = dict(
             eta=float(eta), churn=float(churn),

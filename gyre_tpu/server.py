@@ -61,8 +61,17 @@ def parse_args(argv=None):
     gen.add_argument("--engine_id", action="append", dest="engine_ids",
                      default=environ_list("SD_ENGINE_ID") or None,
                      help="only enable these engine ids")
-    gen.add_argument("--batch_max", type=int,
-                     default=int(os.environ.get("SD_BATCH_MAX", 4)))
+    gen.add_argument("--batch_max", type=str,
+                     default=os.environ.get("SD_BATCH_MAX", "4"),
+                     help="max merged batch per dispatch, or 'auto' to "
+                          "measure from XLA memory analysis at startup "
+                          "(the reference's BatchMode autodetect, "
+                          "gyre/manager.py:202-282)")
+    gen.add_argument("--grpc_workers", type=int,
+                     default=int(os.environ.get("SD_GRPC_WORKERS", 16)),
+                     help="gRPC thread pool size; must exceed batch_max "
+                          "or the coalescer can never fill a batch from "
+                          "concurrent clients")
     gen.add_argument("--nsfw_behaviour", type=str,
                      choices=["block", "flag", "ignore"],
                      default=os.environ.get("SD_NSFW_BEHAVIOUR", "flag"))
@@ -219,8 +228,10 @@ def build_manager(args):
             resolver.resolve(ref, refresh=True)
         except Exception as e:  # noqa: BLE001
             logger.warning("refresh of %s failed: %s", ref, e)
+    batch_max = 4 if str(args.batch_max) == "auto" \
+        else int(args.batch_max)
     return EngineManager(entries, mesh=mesh, compute_dtype=dtype,
-                         batch_max=args.batch_max,
+                         batch_max=batch_max,
                          weight_resolver=resolver)
 
 
@@ -399,7 +410,7 @@ def main(argv=None):
 
     generation = GenerationServiceServicer(manager,
                                            nsfw_behaviour=args.nsfw_behaviour,
-                                           batch_max=args.batch_max,
+                                           batch_max=manager.batch_max,
                                            debug_recorder=recorder)
     engines = EnginesServiceServicer(manager)
     dashboard = DashboardServiceServicer()
@@ -408,7 +419,8 @@ def main(argv=None):
     if args.access_token:
         interceptors.append(TokenAuthInterceptor(args.access_token))
     grpc_server = grpc.server(
-        futures.ThreadPoolExecutor(max_workers=4),
+        futures.ThreadPoolExecutor(max_workers=max(args.grpc_workers,
+                                                   manager.batch_max + 2)),
         interceptors=interceptors,
         options=[("grpc.max_send_message_length", 256 * 1024 * 1024),
                  ("grpc.max_receive_message_length", 256 * 1024 * 1024)])
@@ -438,6 +450,20 @@ def main(argv=None):
     monitor.log("engines loaded")
     logger.info("engines ready in %.1fs: %s", time.time() - t0,
                 ", ".join(manager.engine_ids))
+
+    if str(args.batch_max) == "auto":
+        # measured batch limit from XLA memory analysis (the reference's
+        # BatchMode autodetect probe, gyre/manager.py:230-282)
+        try:
+            eid = manager.default_engine_id()
+            measured = manager.suggest_max_batch(eid)
+            manager.batch_max = measured
+            manager.dispatcher.max_batch = max(measured, 1)
+            generation.batch_max = measured
+            logger.info("batch_max auto: measured %d for %s", measured, eid)
+        except Exception as e:  # noqa: BLE001
+            logger.warning("batch_max auto probe failed (%s); keeping %d",
+                           e, manager.batch_max)
 
     prewarm = args.prewarm
     if prewarm == "auto":

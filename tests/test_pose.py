@@ -97,3 +97,53 @@ def test_multi_person_render_runs():
         params, jnp.asarray(img)))
     assert out.shape == (1, 64, 64, 3)
     assert np.isfinite(out).all()
+
+
+def test_body_model_matches_torch_oracle():
+    """load_body + body_apply against an independent torch implementation
+    with the published `body_pose_model.pth` key names (VERDICT missing
+    #2: pose had no checkpoint loader)."""
+    torch = pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, "tests")
+    import torch_oracles as oracle
+
+    torch.manual_seed(0)
+    net = oracle.BodyPose().eval()
+    state = {k: v.numpy() for k, v in net.state_dict().items()}
+    n_keys = len(state)
+    params = pose.load_body(dict(state))
+
+    rng = np.random.default_rng(0)
+    img = rng.random((1, 64, 64, 3)).astype(np.float32)
+    heat, pafs = pose.body_apply(params, jnp.asarray(img))
+    assert heat.shape == (1, 8, 8, 18)
+    assert pafs.shape == (1, 8, 8, 2 * len(pose.LIMBS))
+
+    with torch.no_grad():
+        x = torch.from_numpy(
+            (img[..., ::-1] - 0.5).transpose(0, 3, 1, 2).copy())
+        t_paf, t_heat = net(x)
+    t_heat = t_heat.numpy().transpose(0, 2, 3, 1)
+    t_paf = t_paf.numpy().transpose(0, 2, 3, 1)
+    perm = np.asarray(pose.LIMB_PAF).reshape(-1)
+
+    def rel(a, b):
+        return np.abs(np.asarray(a) - b).max() / (np.abs(b).max() + 1e-8)
+
+    assert rel(heat, t_heat[..., :18]) < 2e-3
+    assert rel(pafs, t_paf[..., perm]) < 2e-3
+    # 100% key consumption: every torch key appears in the tree
+    count = sum(2 for e in pose.BODY_STEM if e != "pool")
+    count += sum(2 * len(pose._stage_spec(s, n))
+                 for s in range(1, 7) for n in (pose.N_PAF, pose.N_HEAT))
+    assert count == n_keys
+
+
+def test_body_estimate_and_render_runs():
+    params = pose.body_init(jax.random.PRNGKey(0))
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    canvas = pose.estimate_and_render_body(params, img, max_people=4)
+    assert canvas.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(canvas)).all()

@@ -165,3 +165,55 @@ def test_clip_matches_transformers():
     _agree(out["pooled"], hf.pooler_output.numpy())
     # clip-skip parity: penultimate pre-final-LN hidden state
     _agree(out["hidden_states"][-2], hf.hidden_states[-2].numpy())
+
+
+def test_clip_model_joint_space_matches_transformers():
+    """Full CLIPModel (both towers + joint-space projections) against
+    transformers' CLIPModel — the class the reference's `clip` model type
+    loads guidance weights through (gyre/manager.py:1540-1560). Verifies
+    load_clip_model_params' shape-derived configs and that image/text
+    embeddings land in the same joint space as get_image_features /
+    get_text_features."""
+    tfm = pytest.importorskip("transformers")
+    hf_cfg = tfm.CLIPConfig(
+        projection_dim=32,
+        text_config={
+            "vocab_size": 1000, "hidden_size": 64,
+            "intermediate_size": 128, "num_hidden_layers": 2,
+            "num_attention_heads": 4, "max_position_embeddings": 77,
+            "hidden_act": "quick_gelu", "eos_token_id": 999,
+            "bos_token_id": 998, "pad_token_id": 0,
+        },
+        vision_config={
+            "image_size": 32, "patch_size": 8, "hidden_size": 64,
+            "intermediate_size": 128, "num_hidden_layers": 2,
+            "num_attention_heads": 4, "hidden_act": "quick_gelu",
+        })
+    torch.manual_seed(11)
+    net = tfm.CLIPModel(hf_cfg).eval()
+
+    state = TrackedState(_np_state(net))
+    text_p, text_cfg, vis_p, vis_cfg = load.load_clip_model_params(
+        state, text_heads=4, vision_heads=4)
+    leftovers = {k for k in state.unused()
+                 if not k.endswith("position_ids")
+                 and k != "logit_scale"}
+    assert not leftovers, f"unconsumed keys: {sorted(leftovers)}"
+
+    assert text_cfg.num_layers == 2 and text_cfg.projection_dim == 32
+    assert vis_cfg.num_layers == 2 and vis_cfg.projection_dim == 32
+    assert vis_cfg.image_size == 32 and vis_cfg.patch_size == 8
+
+    ids = np.array([[998, 5, 17, 104, 999, 0, 0, 0]], np.int64)
+    out = clip_mod.apply(text_p, text_cfg, ids)
+    with torch.no_grad():
+        t_feat = net.get_text_features(torch.from_numpy(ids)).numpy()
+    _agree(out["pooled"], t_feat)
+
+    rng = np.random.default_rng(3)
+    img = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    vout = clip_mod.vision_apply(vis_p, vis_cfg, img, normalize=False)
+    with torch.no_grad():
+        i_feat = net.get_image_features(
+            torch.from_numpy(img.transpose(0, 3, 1, 2))).numpy()
+    _agree(vout["image_embeds"], i_feat)

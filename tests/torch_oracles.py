@@ -367,3 +367,208 @@ class OracleVAE(nn.Module):
                 h = F.interpolate(h, scale_factor=2, mode="nearest")
                 h = blk.upsamplers[0].conv(h)
         return d.conv_out(F.silu(d.conv_norm_out(h)))
+
+
+class BodyPose(nn.Module):
+    """OpenPose body model with the published `body_pose_model.pth` key
+    naming (model0 VGG-CPM stem; model{s}_{1,2} refinement branches).
+    Architecture from the published CPM/OpenPose design."""
+
+    STEM = [("conv1_1", 3, 64), ("conv1_2", 64, 64), "pool",
+            ("conv2_1", 64, 128), ("conv2_2", 128, 128), "pool",
+            ("conv3_1", 128, 256), ("conv3_2", 256, 256),
+            ("conv3_3", 256, 256), ("conv3_4", 256, 256), "pool",
+            ("conv4_1", 256, 512), ("conv4_2", 512, 512),
+            ("conv4_3_CPM", 512, 256), ("conv4_4_CPM", 256, 128)]
+
+    def __init__(self):
+        super().__init__()
+        from collections import OrderedDict
+
+        stem = OrderedDict()
+        pools = 0
+        for e in self.STEM:
+            if e == "pool":
+                pools += 1
+                stem[f"pool{pools}_stage1"] = nn.MaxPool2d(2, 2, 0)
+            else:
+                name, ci, co = e
+                stem[name] = nn.Conv2d(ci, co, 3, 1, 1)
+                stem[name + "_relu"] = nn.ReLU()
+        # relu modules carry no weights; key names below strip them
+        self.model0 = nn.Sequential(
+            OrderedDict((k, v) for k, v in stem.items()))
+
+        def branch(stage, out_ch):
+            b = "L1" if out_ch == 38 else "L2"
+            od = OrderedDict()
+            if stage == 1:
+                spec = [(f"conv5_1_CPM_{b}", 128, 128, 3),
+                        (f"conv5_2_CPM_{b}", 128, 128, 3),
+                        (f"conv5_3_CPM_{b}", 128, 128, 3),
+                        (f"conv5_4_CPM_{b}", 128, 512, 1),
+                        (f"conv5_5_CPM_{b}", 512, out_ch, 1)]
+            else:
+                spec = [(f"Mconv1_stage{stage}_{b}", 185, 128, 7)] + \
+                    [(f"Mconv{i}_stage{stage}_{b}", 128, 128, 7)
+                     for i in range(2, 6)] + \
+                    [(f"Mconv6_stage{stage}_{b}", 128, 128, 1),
+                     (f"Mconv7_stage{stage}_{b}", 128, out_ch, 1)]
+            for j, (name, ci, co, k) in enumerate(spec):
+                od[name] = nn.Conv2d(ci, co, k, 1, (k - 1) // 2)
+                if j < len(spec) - 1:
+                    od[name + "_relu"] = nn.ReLU()
+            return nn.Sequential(od)
+
+        for s in range(1, 7):
+            setattr(self, f"model{s}_1", branch(s, 38))
+            setattr(self, f"model{s}_2", branch(s, 19))
+
+    def forward(self, x):
+        feat = self.model0(x)
+        out1 = self.model1_1(feat)
+        out2 = self.model1_2(feat)
+        for s in range(2, 7):
+            inp = torch.cat([out1, out2, feat], dim=1)
+            out1 = getattr(self, f"model{s}_1")(inp)
+            out2 = getattr(self, f"model{s}_2")(inp)
+        return out1, out2
+
+
+# --------------------------------------------------------------- DexiNed
+# Independent reconstruction of the published DexiNed torch model
+# (xavysp/DexiNed model.py, served by the reference via kornia.filters.
+# DexiNed) with the checkpoint's module naming — including its quirks:
+# side blocks named 1/2/3/5, dense-layer conv paddings (2, 0).
+
+
+class DexiSingleConv(nn.Module):
+    def __init__(self, ci, co, stride, use_bs=True):
+        super().__init__()
+        self.conv = nn.Conv2d(ci, co, 1, stride=stride)
+        self.bn = nn.BatchNorm2d(co) if use_bs else None
+
+    def forward(self, x):
+        x = self.conv(x)
+        return self.bn(x) if self.bn is not None else x
+
+
+class DexiDoubleConv(nn.Module):
+    def __init__(self, ci, cm, co=None, stride=1, use_act=True):
+        super().__init__()
+        co = co or cm
+        self.conv1 = nn.Conv2d(ci, cm, 3, stride=stride, padding=1)
+        self.bn1 = nn.BatchNorm2d(cm)
+        self.conv2 = nn.Conv2d(cm, co, 3, padding=1)
+        self.bn2 = nn.BatchNorm2d(co)
+        self.use_act = use_act
+
+    def forward(self, x):
+        x = F.relu(self.bn1(self.conv1(x)))
+        x = self.bn2(self.conv2(x))
+        return F.relu(x) if self.use_act else x
+
+
+class DexiDenseLayer(nn.Sequential):
+    def __init__(self, ci, co):
+        super().__init__()
+        self.add_module("conv1", nn.Conv2d(ci, co, 3, padding=2))
+        self.add_module("norm1", nn.BatchNorm2d(co))
+        self.add_module("relu1", nn.ReLU(inplace=True))
+        self.add_module("conv2", nn.Conv2d(co, co, 3))  # padding 0
+        self.add_module("norm2", nn.BatchNorm2d(co))
+
+    def forward(self, x):
+        x1, x2 = x
+        new = super().forward(F.relu(x1))
+        return 0.5 * (new + x2), x2
+
+
+class DexiDenseBlock(nn.Sequential):
+    def __init__(self, n, ci, co):
+        super().__init__()
+        for i in range(n):
+            self.add_module(f"denselayer{i + 1}",
+                            DexiDenseLayer(ci if i == 0 else co, co))
+
+    def forward(self, x):
+        for layer in self:
+            x = layer(x)
+        return x[0]
+
+
+class DexiUpBlock(nn.Module):
+    def __init__(self, ci, up_scale):
+        super().__init__()
+        pads = [0, 0, 1, 3, 7]
+        layers = []
+        for i in range(up_scale):
+            co = 1 if i == up_scale - 1 else 16
+            layers.append(nn.Conv2d(ci, co, 1))
+            layers.append(nn.ReLU(inplace=True))
+            layers.append(nn.ConvTranspose2d(co, co, 2 ** up_scale,
+                                             stride=2,
+                                             padding=pads[up_scale]))
+            ci = co
+        self.features = nn.Sequential(*layers)
+
+    def forward(self, x):
+        return self.features(x)
+
+
+class DexiNed(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.block_1 = DexiDoubleConv(3, 32, 64, stride=2)
+        self.block_2 = DexiDoubleConv(64, 128, use_act=False)
+        self.dblock_3 = DexiDenseBlock(2, 128, 256)
+        self.dblock_4 = DexiDenseBlock(3, 256, 512)
+        self.dblock_5 = DexiDenseBlock(3, 512, 512)
+        self.dblock_6 = DexiDenseBlock(3, 512, 256)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        self.side_1 = DexiSingleConv(64, 128, 2)
+        self.side_2 = DexiSingleConv(128, 256, 2)
+        self.side_3 = DexiSingleConv(256, 512, 2)
+        self.side_5 = DexiSingleConv(512, 512, 1)
+        self.pre_dense_2 = DexiSingleConv(128, 256, 2)
+        self.pre_dense_3 = DexiSingleConv(128, 256, 1)
+        self.pre_dense_4 = DexiSingleConv(256, 512, 1)
+        self.pre_dense_5 = DexiSingleConv(512, 512, 1)
+        self.pre_dense_6 = DexiSingleConv(512, 256, 1)
+        self.up_block_1 = DexiUpBlock(64, 1)
+        self.up_block_2 = DexiUpBlock(128, 1)
+        self.up_block_3 = DexiUpBlock(256, 2)
+        self.up_block_4 = DexiUpBlock(512, 3)
+        self.up_block_5 = DexiUpBlock(512, 4)
+        self.up_block_6 = DexiUpBlock(256, 4)
+        self.block_cat = DexiSingleConv(6, 1, 1, use_bs=False)
+
+    def forward(self, x):
+        b1 = self.block_1(x)
+        b1_side = self.side_1(b1)
+        b2 = self.block_2(b1)
+        b2_down = self.maxpool(b2)
+        b2_add = b2_down + b1_side
+        b2_side = self.side_2(b2_add)
+        b3_pre = self.pre_dense_3(b2_down)
+        b3 = self.dblock_3([b2_add, b3_pre])
+        b3_down = self.maxpool(b3)
+        b3_add = b3_down + b2_side
+        b3_side = self.side_3(b3_add)
+        b2_half = self.pre_dense_2(b2_down)
+        b4_pre = self.pre_dense_4(b3_down + b2_half)
+        b4 = self.dblock_4([b3_add, b4_pre])
+        b4_down = self.maxpool(b4)
+        b4_add = b4_down + b3_side
+        b4_side = self.side_5(b4_add)
+        b5_pre = self.pre_dense_5(b4_down)
+        b5 = self.dblock_5([b4_add, b5_pre])
+        b5 = b5 + b4_side
+        b6_pre = self.pre_dense_6(b5)
+        b6 = self.dblock_6([b5, b6_pre])
+        outs = [self.up_block_1(b1), self.up_block_2(b2),
+                self.up_block_3(b3), self.up_block_4(b4),
+                self.up_block_5(b5), self.up_block_6(b6)]
+        fused = self.block_cat(torch.cat(outs, dim=1))
+        outs.append(fused)
+        return outs
