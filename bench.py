@@ -5,6 +5,21 @@ Weights are random-init (no model downloads in this environment) — identical
 architecture, shapes, and dtype to the real SD1.5, so throughput/latency are
 the true serving numbers.
 
+Three phases, each in its own process so the (single-tenant) TPU is never
+held by two at once:
+
+  1. pipeline  — batch-1 p50 latency + batch-8 pipeline throughput
+                 (compiled-program level, the driver's historical metric).
+  2. serving   — boot the REAL server (server.py subprocess), fire
+                 concurrent gRPC clients, report coalesced serving
+                 throughput, client-side p50/p95 and the dispatcher's
+                 merged-batch stats. This also seeds the persistent XLA
+                 cache with the serving (chunked) programs.
+  3. warm boot — boot the server again against the now-warm disk cache
+                 and measure first-image latency (warm_first_image_s):
+                 the cold-start story a production deployment sees after
+                 its first boot.
+
 vs_baseline compares against A100 diffusers fp16 (the reference's typical
 deployment): SD1.5 512^2 runs ~20 it/s there -> ~1.0 s for 20 steps + VAE,
 i.e. ~1.0 images/sec (BASELINE.md north-star latency anchor).
@@ -12,10 +27,19 @@ i.e. ~1.0 images/sec (BASELINE.md north-star latency anchor).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
+import argparse
 import json
+import os
+import subprocess
+import sys
+import threading
 import time
+import urllib.request
 
 A100_BASELINE_IMG_PER_SEC = 1.0
+CACHE_PATH = "/tmp/gyre-bench-cache"
+GRPC_PORT, HTTP_PORT = 50961, 50962
+N_CLIENTS, ROUNDS = 8, 2
 
 
 def _peak_hbm_gb():
@@ -35,11 +59,11 @@ def _peak_hbm_gb():
         return 0.0
 
 
-def main():
+def phase_pipeline():
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/gyre_tpu_jax_cache_tpu")
+                      os.path.join(CACHE_PATH, "xla-pipeline"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp
@@ -58,12 +82,10 @@ def main():
               sampler="k_dpmpp_2m", guidance_scale=7.5,
               output_dtype="uint8")  # serving path: device-side quantize
 
-    # warmup / compile
     t0 = time.perf_counter()
     np.asarray(pipe(seeds=[0], **kw))
     compile_s = time.perf_counter() - t0
 
-    # timed runs (single request, batch 1 — the p50 latency shape)
     latencies = []
     for i in range(4):
         t0 = time.perf_counter()
@@ -86,18 +108,192 @@ def main():
     batch_time = (time.perf_counter() - t0) / runs
     throughput = len(bseeds) / batch_time
 
-    value = round(throughput, 4)
     print(json.dumps({
-        "metric": "images/sec/chip (SD1.5 512^2, 20-step DPM++2M, CFG)",
-        "value": value,
-        "unit": "images/sec",
-        "vs_baseline": round(value / A100_BASELINE_IMG_PER_SEC, 4),
+        "value": round(throughput, 4),
         "p50_latency_s": round(p50, 4),
         "batch1_latency_s": round(min(latencies), 4),
         "compile_s": round(compile_s, 2),
         "peak_hbm_gb": _peak_hbm_gb(),
         "device": str(jax.devices()[0]),
     }))
+
+
+# ----------------------------------------------------------------- serving
+
+
+def _boot_server(tag: str):
+    cfg = os.path.join(CACHE_PATH, "engines.yaml")
+    os.makedirs(CACHE_PATH, exist_ok=True)
+    with open(cfg, "w") as f:
+        f.write("- id: bench-sd15\n  name: bench\n  task: generate\n"
+                "  default: true\n  model: preset/sd15\n")
+    log = open(os.path.join(CACHE_PATH, f"server-{tag}.log"), "w")
+    proc = subprocess.Popen(
+        [sys.executable, "server.py", "--enginecfg", cfg,
+         "--grpc_port", str(GRPC_PORT), "--http_port", str(HTTP_PORT),
+         "--batch_max", "8", "--nsfw_behaviour", "ignore",
+         "--prewarm", "off", "--cache_path", CACHE_PATH],
+        stdout=log, stderr=log, cwd=os.path.dirname(os.path.abspath(__file__)))
+    deadline = time.monotonic() + 600
+    while time.monotonic() < deadline:
+        if proc.poll() is not None:
+            raise RuntimeError(f"server exited rc={proc.returncode}")
+        try:
+            with urllib.request.urlopen(
+                    f"http://localhost:{HTTP_PORT}/status", timeout=3) as r:
+                st = json.load(r)
+            if any(e.get("ready") for e in st.get("engines", [])):
+                return proc
+        except Exception:  # noqa: BLE001
+            pass
+        time.sleep(2.0)
+    proc.terminate()
+    raise RuntimeError("server never became ready")
+
+
+def _status():
+    with urllib.request.urlopen(
+            f"http://localhost:{HTTP_PORT}/status", timeout=10) as r:
+        return json.load(r)
+
+
+def _one_request(seed: int, timeout_s: float = 900.0) -> float:
+    import grpc
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from gyre_tpu.generated import generation_pb2 as pb
+
+    chan = grpc.insecure_channel(f"localhost:{GRPC_PORT}")
+    gen = chan.unary_stream(
+        "/gooseai.GenerationService/Generate",
+        request_serializer=pb.Request.SerializeToString,
+        response_deserializer=pb.Answer.FromString)
+    req = pb.Request(engine_id="bench-sd15")
+    p = req.prompt.add()
+    p.text = "a photograph of an astronaut riding a horse"
+    n = req.prompt.add()
+    n.text = "blurry"
+    n.parameters.weight = -1.0
+    img = req.image
+    img.height = img.width = 512
+    img.steps = 20
+    img.samples = 1
+    img.seed.append(seed)
+    img.transform.diffusion = pb.SAMPLER_K_DPMPP_2M
+    sp = img.parameters.add()
+    sp.sampler.cfg_scale = 7.5
+    t0 = time.perf_counter()
+    got = 0
+    for ans in gen(req, timeout=timeout_s):
+        got += sum(1 for a in ans.artifacts if a.binary)
+    dt = time.perf_counter() - t0
+    chan.close()
+    if not got:
+        raise RuntimeError("no artifact")
+    return dt
+
+
+def phase_serving():
+    proc = _boot_server("serve")
+    out = {}
+    try:
+        # absorb the serving-program compiles (also seeds the disk cache)
+        cold_first = _one_request(0)
+        out["cold_first_image_s"] = round(cold_first, 2)
+
+        lat: list[float] = []
+        errs: list[str] = []
+
+        def client(cid: int):
+            try:
+                for r in range(ROUNDS):
+                    lat.append(_one_request(1000 + cid * 10 + r))
+            except Exception as e:  # noqa: BLE001
+                errs.append(str(e))
+
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=client, args=(c,))
+                   for c in range(N_CLIENTS)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        if errs:
+            out["serve_errors"] = errs[:3]
+        if lat:
+            lat.sort()
+            out["serve_throughput_img_s"] = round(len(lat) / wall, 4)
+            out["serve_p50_s"] = round(lat[len(lat) // 2], 3)
+            out["serve_p95_s"] = round(lat[int(len(lat) * 0.95) - 1], 3)
+            out["serve_clients"] = N_CLIENTS
+        st = _status().get("dispatcher", {})
+        out["serve_max_merged_requests"] = st.get("max_merged_requests", 0)
+        out["serve_batches"] = st.get("batches", 0)
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+    print(json.dumps(out))
+
+
+def phase_warmboot():
+    proc = _boot_server("warm")
+    try:
+        warm = _one_request(7)
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+    print(json.dumps({"warm_first_image_s": round(warm, 2)}))
+
+
+def _run_phase(name: str, timeout: int) -> dict:
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--phase", name],
+        capture_output=True, text=True, timeout=timeout,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    for line in reversed((r.stdout or "").strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"phase {name} produced no JSON (rc={r.returncode}): "
+        f"{(r.stderr or '')[-500:]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", default=None)
+    args = ap.parse_args()
+    if args.phase == "pipeline":
+        return phase_pipeline()
+    if args.phase == "serving":
+        return phase_serving()
+    if args.phase == "warmboot":
+        return phase_warmboot()
+
+    result = {
+        "metric": "images/sec/chip (SD1.5 512^2, 20-step DPM++2M, CFG)",
+        "unit": "images/sec",
+    }
+    pipeline = _run_phase("pipeline", 3000)
+    result.update(pipeline)
+    result["vs_baseline"] = round(
+        result["value"] / A100_BASELINE_IMG_PER_SEC, 4)
+    try:
+        result.update(_run_phase("serving", 3000))
+    except Exception as e:  # noqa: BLE001
+        result["serve_error"] = str(e)[:300]
+    try:
+        result.update(_run_phase("warmboot", 1800))
+    except Exception as e:  # noqa: BLE001
+        result["warmboot_error"] = str(e)[:300]
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -515,6 +515,52 @@ class EngineManager:
 
         kind = spec.params.get("kind") or spec.task
         seed = int(spec.params.get("seed", 0))
+        if kind in ("zoe", "zoedepth"):
+            # metric depth: ZoeDepth attractor-bins head over the DPT
+            # trunk (reference zoe_model_wrapper.py / zoe_depth_pipeline)
+            from ..models import dpt
+            from ..models import zoedepth as zoe
+
+            state = self.spec_state_dict(spec)
+            trunk_cfg, zcfg = dpt.DPT_TEST, zoe.ZOE_TEST
+            trunk = head = None
+            if state is not None:
+                try:
+                    head, zcfg = zoe.load_zoe_head(state)
+                except Exception as e:  # noqa: BLE001
+                    logger.warning("zoe head load failed (%s); "
+                                   "random-init", e)
+                core = {k.split("core.core.", 1)[1]: v
+                        for k, v in state.items() if "core.core." in k}
+                if core:
+                    try:
+                        trunk, trunk_cfg = dpt.load_dpt(core)
+                    except Exception as e:  # noqa: BLE001
+                        logger.warning(
+                            "zoe trunk is not a DPT/MiDaS layout this "
+                            "build can load (%s); trunk random-init "
+                            "(BEiT backbones unsupported)", e)
+            if head is None:
+                import dataclasses as _dc
+
+                zcfg = _dc.replace(zoe.ZOE_TEST,
+                                   btlnck_features=trunk_cfg.fusion,
+                                   num_out_features=trunk_cfg.fusion)
+                head = zoe.init(_jax.random.PRNGKey(seed), zcfg,
+                                dtype=jnp.float32)
+            if trunk is None:
+                trunk = dpt.init(_jax.random.PRNGKey(seed + 1), trunk_cfg,
+                                 dtype=jnp.float32)
+            zsize = int(spec.params.get(
+                "size", trunk_cfg.grid * trunk_cfg.patch))
+            zfn = _jax.jit(lambda t, h, x: zoe.estimate_depth_hint(
+                t, h, x, trunk_cfg, zcfg, size=zsize))
+
+            def run_zoe(img):
+                d = zfn(trunk, head, jnp.asarray(img, jnp.float32))
+                return jnp.tile(d, (1, 1, 1, 3))
+
+            return run_zoe
         if kind in ("depth", "midas", "dpt"):
             from ..models import dpt
 

@@ -235,7 +235,7 @@ def backbone(params: Params, x: jax.Array, cfg: DPTConfig) -> list:
 
 
 def neck(params: Params, taps: list, gh: int, gw: int,
-         cfg: DPTConfig) -> list:
+         cfg: DPTConfig, return_laterals: bool = False):
     """Tapped token maps -> fused pyramid (reference DPTNeck +
     DPTFeatureFusionStage, transformers modeling_dpt.py:495-760)."""
     feats = []
@@ -278,6 +278,8 @@ def neck(params: Params, taps: list, gh: int, gw: int,
             align_corners=True)
         fused = _conv(fp["proj"], fused)
         out.append(fused)
+    if return_laterals:
+        return out, feats
     return out
 
 
@@ -285,17 +287,31 @@ def apply(params: Params, x: jax.Array, cfg: DPTConfig = DPT_LARGE
           ) -> jax.Array:
     """Normalized image [B,H,W,3] (H,W multiples of patch) -> relative
     inverse depth [B,H',W',1] at half input resolution."""
+    return apply_features(params, x, cfg)["rel_depth"]
+
+
+def apply_features(params: Params, x: jax.Array,
+                   cfg: DPTConfig = DPT_LARGE) -> dict:
+    """Full MidasCore-style feature surface (zoedepth
+    base_models/midas.py hook points): rel_depth + the taps the ZoeDepth
+    metric head consumes — l4_rn (coarsest pre-fusion lateral), r4..r1
+    (fusion outputs, coarse->fine) and out_conv (the 32-channel ReLU
+    activation inside the head)."""
     B, H, W, _ = x.shape
     taps = backbone(params, x, cfg)
-    fused = neck(params, taps, H // cfg.patch, W // cfg.patch, cfg)
+    fused, laterals = neck(params, taps, H // cfg.patch, W // cfg.patch,
+                           cfg, return_laterals=True)
     y = fused[-1]
     hp = params["head"]
     y = _conv(hp["c0"], y)
     y = resize_bilinear(y, (y.shape[1] * 2, y.shape[2] * 2),
                         align_corners=True)
-    y = jax.nn.relu(_conv(hp["c2"], y))
-    y = jax.nn.relu(_conv(hp["c4"], y))
-    return y
+    out_conv = jax.nn.relu(_conv(hp["c2"], y))
+    y = jax.nn.relu(_conv(hp["c4"], out_conv))
+    return {"rel_depth": y, "out_conv": out_conv,
+            "l4_rn": laterals[3],
+            "r4": fused[0], "r3": fused[1], "r2": fused[2],
+            "r1": fused[3]}
 
 
 def estimate_depth(params: Params, image: jax.Array,

@@ -180,3 +180,102 @@ def test_full_size_config():
     assert dpt.DPT_LARGE.layers == 24
     assert dpt.DPT_LARGE.hooks == (5, 11, 17, 23)
     assert dpt.DPT_LARGE.neck_ch == (256, 512, 1024, 1024)
+
+
+# ------------------------------------------------------------- ZoeDepth
+
+
+def test_zoe_head_matches_torch_oracle():
+    """Metric-bins head parity against an independent torch
+    reconstruction of the published ZoeDepth layers (VERDICT missing #4:
+    metric depth head was absent)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, "tests")
+    import torch_oracles as oracle
+
+    from gyre_tpu.models import zoedepth as zoe
+
+    torch.manual_seed(2)
+    net = oracle.ZoeHead().eval()
+    state = {k: v.numpy() for k, v in net.state_dict().items()}
+    params, cfg = zoe.load_zoe_head(dict(state))
+    assert cfg.n_bins == 8 and cfg.bin_embedding_dim == 16
+    assert cfg.n_attractors == (4, 2, 2, 1)
+    assert cfg.out_conv_ch == 32
+
+    rng = np.random.default_rng(5)
+
+    def feat(c, s):
+        return rng.standard_normal((1, s, s, c)).astype(np.float32)
+
+    feats = {"l4_rn": feat(64, 4), "r4": feat(64, 8), "r3": feat(64, 16),
+             "r2": feat(64, 32), "r1": feat(64, 64),
+             "out_conv": np.abs(feat(32, 64)),
+             "rel_depth": np.abs(feat(1, 64))}
+    ours = np.asarray(zoe.apply_head(
+        {k: v for k, v in params.items()},
+        {k: jnp.asarray(v) for k, v in feats.items()}, cfg))
+
+    def t(x):
+        return torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
+
+    with torch.no_grad():
+        theirs = net(t(feats["l4_rn"]),
+                     [t(feats["r4"]), t(feats["r3"]), t(feats["r2"]),
+                      t(feats["r1"])],
+                     t(feats["out_conv"]), t(feats["rel_depth"]))
+    theirs = theirs.numpy().transpose(0, 2, 3, 1)
+    err = np.abs(ours - theirs).max() / (np.abs(theirs).max() + 1e-8)
+    assert err < 2e-3, f"rel err {err}"
+
+
+def test_zoe_end_to_end_over_dpt_trunk():
+    """Full metric-depth pipeline over the DPT trunk: image -> metric
+    depth + hint map, both finite, hint in [0,1]."""
+    from gyre_tpu.models import zoedepth as zoe
+
+    cfg = dpt.DPT_TEST
+    params = dpt.init(jax.random.PRNGKey(0), cfg)
+    head = zoe.init(jax.random.PRNGKey(1),
+                    _zoe_cfg_for_trunk(cfg))
+    img = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 64, 3))
+    size = cfg.grid * cfg.patch
+    zcfg = _zoe_cfg_for_trunk(cfg)
+    d = zoe.estimate_metric_depth(params, head, img, cfg, zcfg, size=size)
+    hint = zoe.estimate_depth_hint(params, head, img, cfg, zcfg, size=size)
+    assert d.shape == (1, 64, 64, 1) and hint.shape == (1, 64, 64, 1)
+    assert np.isfinite(np.asarray(d)).all()
+    h = np.asarray(hint)
+    assert h.min() >= 0 and h.max() <= 1 + 1e-5
+
+
+def _zoe_cfg_for_trunk(dpt_cfg):
+    import dataclasses as dc
+
+    from gyre_tpu.models import zoedepth as zoe
+
+    return dc.replace(zoe.ZOE_TEST,
+                      btlnck_features=dpt_cfg.fusion,
+                      num_out_features=dpt_cfg.fusion)
+
+
+def test_zoe_task_engine():
+    """`kind: zoedepth` task engine produces a 3-channel depth hint."""
+    import jax.numpy as jnp2
+
+    from gyre_tpu.manager.manager import EngineManager
+
+    m = EngineManager(
+        [{"id": "zoe", "task": "depth", "kind": "zoedepth"}],
+        compute_dtype=jnp2.float32)
+    run = m.task_pipeline("depth", "zoe")
+    assert run is not None
+    img = np.random.default_rng(0).random((1, 64, 64, 3)).astype(
+        np.float32)
+    out = np.asarray(run(img))
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(out).all()

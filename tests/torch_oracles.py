@@ -572,3 +572,144 @@ class DexiNed(nn.Module):
         fused = self.block_cat(torch.cat(outs, dim=1))
         outs.append(fused)
         return outs
+
+
+# -------------------------------------------------------------- ZoeDepth
+# Independent reconstruction of the published ZoeDepth metric-bins head
+# (isl-org/ZoeDepth single-head ZoeD_N: SeedBinRegressorUnnormed,
+# Projector, AttractorLayerUnnormed 'inv'/'mean', ConditionalLogBinomial)
+# with the checkpoint key naming, as the oracle for
+# gyre_tpu/models/zoedepth.py.
+
+
+class ZoeSeedBinRegressorUnnormed(nn.Module):
+    def __init__(self, in_features, n_bins=16, mlp_dim=256):
+        super().__init__()
+        self._net = nn.Sequential(
+            nn.Conv2d(in_features, mlp_dim, 1), nn.ReLU(inplace=True),
+            nn.Conv2d(mlp_dim, n_bins, 1), nn.Softplus())
+
+    def forward(self, x):
+        c = self._net(x)
+        return c, c
+
+
+class ZoeProjector(nn.Module):
+    def __init__(self, in_features, out_features, mlp_dim=128):
+        super().__init__()
+        self._net = nn.Sequential(
+            nn.Conv2d(in_features, mlp_dim, 1), nn.ReLU(inplace=True),
+            nn.Conv2d(mlp_dim, out_features, 1))
+
+    def forward(self, x):
+        return self._net(x)
+
+
+class ZoeAttractorLayerUnnormed(nn.Module):
+    def __init__(self, in_features, n_bins, n_attractors=16, mlp_dim=128,
+                 alpha=1000, gamma=2, kind="mean", attractor_type="inv"):
+        super().__init__()
+        self.alpha, self.gamma = alpha, gamma
+        self.kind, self.attractor_type = kind, attractor_type
+        self._net = nn.Sequential(
+            nn.Conv2d(in_features, mlp_dim, 1), nn.ReLU(inplace=True),
+            nn.Conv2d(mlp_dim, n_attractors, 1), nn.Softplus())
+
+    def forward(self, x, b_prev, prev_b_embedding=None):
+        if prev_b_embedding is not None:
+            prev_b_embedding = F.interpolate(
+                prev_b_embedding, x.shape[-2:], mode="bilinear",
+                align_corners=True)
+            x = x + prev_b_embedding
+        A = self._net(x)
+        b_prev = F.interpolate(b_prev, x.shape[-2:], mode="bilinear",
+                               align_corners=True)
+        dx = A.unsqueeze(2) - b_prev.unsqueeze(1)
+        if self.attractor_type == "inv":
+            pulled = dx / (1 + self.alpha * dx.abs() ** self.gamma)
+        else:
+            pulled = torch.exp(-self.alpha * dx.abs() ** self.gamma) * dx
+        func = torch.mean if self.kind == "mean" else torch.sum
+        delta = func(pulled, dim=1)
+        b_new = b_prev + delta
+        return b_new, b_new
+
+
+class ZoeConditionalLogBinomial(nn.Module):
+    def __init__(self, in_features, condition_dim, n_classes=64,
+                 p_eps=1e-4, max_temp=50.0, min_temp=0.0212):
+        super().__init__()
+        self.K = n_classes
+        self.p_eps, self.max_temp, self.min_temp = p_eps, max_temp, min_temp
+        bottleneck = (in_features + condition_dim) // 4
+        self.mlp = nn.Sequential(
+            nn.Conv2d(in_features + condition_dim, bottleneck, 1),
+            nn.GELU(),
+            nn.Conv2d(bottleneck, 4, 1), nn.Softplus())
+        k = torch.arange(n_classes).float()
+        km1 = float(n_classes - 1)
+        self.register_buffer(
+            "log_coef",
+            torch.lgamma(torch.tensor(km1 + 1)) - torch.lgamma(k + 1)
+            - torch.lgamma(km1 - k + 1), persistent=False)
+
+    def forward(self, x, cond):
+        pc = self.mlp(torch.cat((x, cond), dim=1))
+        p, c = pc[:, :2], pc[:, 2:]
+        p = p + self.p_eps
+        prob = p[:, 0:1] / (p[:, 0:1] + p[:, 1:2])
+        c = c + self.min_temp
+        t = (c[:, 0:1] / (c[:, 0:1] + c[:, 1:2])) * self.max_temp
+        k = torch.arange(self.K, device=x.device).float().view(1, -1, 1, 1)
+        km1 = float(self.K - 1)
+        eps = 1e-4
+        pc_ = prob.clamp(eps, 1.0)
+        omp = (1 - prob).clamp(eps, 1.0)
+        y = self.log_coef.view(1, -1, 1, 1) + k * torch.log(pc_) + \
+            (km1 - k) * torch.log(omp)
+        return torch.softmax(y / t, dim=1)
+
+
+class ZoeHead(nn.Module):
+    """The metric head with checkpoint key naming (conv2,
+    seed_bin_regressor, seed_projector, projectors.N, attractors.N,
+    conditional_log_binomial)."""
+
+    def __init__(self, btlnck=64, out_feats=64, n_bins=8, embed=16,
+                 mlp_dim=16, seed_mlp=16, n_attractors=(4, 2, 2, 1),
+                 out_conv_ch=32):
+        super().__init__()
+        self.n_bins = n_bins
+        self.conv2 = nn.Conv2d(btlnck, btlnck, 1)
+        self.seed_bin_regressor = ZoeSeedBinRegressorUnnormed(
+            btlnck, n_bins, seed_mlp)
+        self.seed_projector = ZoeProjector(btlnck, embed, mlp_dim)
+        self.projectors = nn.ModuleList(
+            [ZoeProjector(out_feats, embed, mlp_dim) for _ in range(4)])
+        self.attractors = nn.ModuleList(
+            [ZoeAttractorLayerUnnormed(embed, n_bins, n, mlp_dim)
+             for n in n_attractors])
+        self.conditional_log_binomial = ZoeConditionalLogBinomial(
+            out_conv_ch + 1, embed, n_bins)
+
+    def forward(self, l4_rn, x_blocks, out_conv, rel_depth):
+        x = self.conv2(l4_rn)
+        _, seed = self.seed_bin_regressor(x)
+        b_prev = seed
+        prev_embed = self.seed_projector(x)
+        embed = prev_embed
+        for proj, attr, xb in zip(self.projectors, self.attractors,
+                                  x_blocks):
+            embed = proj(xb)
+            b, _ = attr(embed, b_prev, prev_embed)
+            b_prev, prev_embed = b, embed
+        last = torch.cat(
+            [out_conv,
+             F.interpolate(rel_depth, out_conv.shape[-2:],
+                           mode="bilinear", align_corners=True)], dim=1)
+        cond = F.interpolate(embed, last.shape[-2:], mode="bilinear",
+                             align_corners=True)
+        probs = self.conditional_log_binomial(last, cond)
+        centers = F.interpolate(b_prev, probs.shape[-2:], mode="bilinear",
+                                align_corners=True)
+        return torch.sum(probs * centers, dim=1, keepdim=True)
