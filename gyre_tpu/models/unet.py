@@ -44,9 +44,30 @@ def _resnet_init(key, c_in, c_out, temb_dim, dtype, scale_shift=False):
     return p
 
 
+def _gn_silu_conv(norm_p, conv_p, x, groups):
+    """GN -> SiLU -> conv3x3, fused into a Pallas kernel on TPU (5 -> 3
+    HBM traversals, ops/fused_norm_conv.py); XLA chain otherwise."""
+    from ..ops import fusion
+
+    if fusion.enabled() and fusion.gn_conv_fusable(x.shape,
+                                                  conv_p["w"].shape):
+        from ..ops.fused_norm_conv import gn_silu_conv3x3
+
+        return gn_silu_conv3x3(x, norm_p["scale"], norm_p["bias"],
+                               conv_p["w"], conv_p.get(
+                                   "b", jnp.zeros(conv_p["w"].shape[-1])),
+                               groups=groups, eps=1e-5)
+    return L.conv2d(conv_p, L.silu(L.group_norm(norm_p, x, groups)))
+
+
 def _resnet(p, x, temb, groups, tiling=(False, False)):
-    h = L.silu(L.group_norm(p["norm1"], x, groups))
-    h = L.conv2d_tiled(p["conv1"], h, tiling_x=tiling[0], tiling_y=tiling[1])
+    plain = not (tiling[0] or tiling[1])
+    if plain:
+        h = _gn_silu_conv(p["norm1"], p["conv1"], x, groups)
+    else:
+        h = L.silu(L.group_norm(p["norm1"], x, groups))
+        h = L.conv2d_tiled(p["conv1"], h, tiling_x=tiling[0],
+                           tiling_y=tiling[1])
     te = None
     if temb is not None and "time_emb" in p:
         te = L.linear(p["time_emb"], L.silu(temb))
@@ -59,11 +80,17 @@ def _resnet(p, x, temb, groups, tiling=(False, False)):
         h = L.group_norm(p["norm2"], h, groups)
         h = h * (1.0 + scale[:, None, None, :]) + shift[:, None, None, :]
         h = L.silu(h)
+        h = L.conv2d_tiled(p["conv2"], h, tiling_x=tiling[0],
+                           tiling_y=tiling[1])
     else:
         if te is not None:
             h = h + te[:, None, None, :]
-        h = L.silu(L.group_norm(p["norm2"], h, groups))
-    h = L.conv2d_tiled(p["conv2"], h, tiling_x=tiling[0], tiling_y=tiling[1])
+        if plain:
+            h = _gn_silu_conv(p["norm2"], p["conv2"], h, groups)
+        else:
+            h = L.silu(L.group_norm(p["norm2"], h, groups))
+            h = L.conv2d_tiled(p["conv2"], h, tiling_x=tiling[0],
+                               tiling_y=tiling[1])
     if "shortcut" in p:
         x = L.conv2d(p["shortcut"], x)
     return x + h

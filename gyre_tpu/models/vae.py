@@ -32,11 +32,26 @@ def _resnet_init(key, c_in, c_out, dtype):
     return p
 
 
+def _gn_silu_conv(norm_p, conv_p, x, groups):
+    """GN -> SiLU -> 3x3 conv; the fused Pallas path cuts the chain from
+    5 to 3 HBM traversals on TPU (ops/fused_norm_conv.py)."""
+    from ..ops import fusion
+
+    if fusion.enabled() and fusion.gn_conv_fusable(x.shape,
+                                                  conv_p["w"].shape):
+        from ..ops.fused_norm_conv import gn_silu_conv3x3
+
+        return gn_silu_conv3x3(x, norm_p["scale"], norm_p["bias"],
+                               conv_p["w"], conv_p.get(
+                                   "b", jnp.zeros(conv_p["w"].shape[-1])),
+                               groups=groups, eps=_EPS)
+    h = L.silu(L.group_norm(norm_p, x, groups, eps=_EPS))
+    return L.conv2d(conv_p, h)
+
+
 def _resnet(p, x, groups):
-    h = L.silu(L.group_norm(p["norm1"], x, groups, eps=_EPS))
-    h = L.conv2d(p["conv1"], h)
-    h = L.silu(L.group_norm(p["norm2"], h, groups, eps=_EPS))
-    h = L.conv2d(p["conv2"], h)
+    h = _gn_silu_conv(p["norm1"], p["conv1"], x, groups)
+    h = _gn_silu_conv(p["norm2"], p["conv2"], h, groups)
     if "shortcut" in p:
         x = L.conv2d(p["shortcut"], x)
     return x + h

@@ -347,6 +347,15 @@ def start_localtunnel(port: int, access_token: str):
 
 
 def main(argv=None):
+    # SIGUSR1 -> all-thread stack dump on stderr (hang diagnosis in
+    # production; default SIGUSR1 would kill the process)
+    try:
+        import faulthandler
+        import signal as _signal
+
+        faulthandler.register(_signal.SIGUSR1, all_threads=True)
+    except Exception:  # noqa: BLE001  (not main thread / platform)
+        pass
     args = parse_args(argv)
     if args.localtunnel and not args.access_token:
         import secrets

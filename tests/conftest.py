@@ -2,6 +2,17 @@
 run anywhere (mirrors the driver's dryrun_multichip environment)."""
 
 import os
+import sys
+
+# Absolute paths for repo-root (client.py, server.py) and tests/
+# (torch_oracles) imports: relative/cwd-dependent entries are the source
+# of the order-dependent ModuleNotFoundError flake under full serial runs
+# (VERDICT round 2 item 10).
+_TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO_ROOT = os.path.dirname(_TESTS_DIR)
+for _p in (_REPO_ROOT, _TESTS_DIR):
+    if _p not in sys.path:
+        sys.path.insert(0, _p)
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")

@@ -192,10 +192,7 @@ def test_zoe_head_matches_torch_oracle():
     import pytest
 
     torch = pytest.importorskip("torch")
-    import sys
-
-    sys.path.insert(0, "tests")
-    import torch_oracles as oracle
+    import torch_oracles as oracle  # tests/ on sys.path via conftest
 
     from gyre_tpu.models import zoedepth as zoe
 

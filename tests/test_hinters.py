@@ -247,10 +247,7 @@ def test_dexined_matches_torch_oracle():
     import pytest
 
     torch = pytest.importorskip("torch")
-    import sys
-
-    sys.path.insert(0, "tests")
-    import torch_oracles as oracle
+    import torch_oracles as oracle  # tests/ on sys.path via conftest
 
     torch.manual_seed(0)
     net = oracle.DexiNed().eval()

@@ -104,10 +104,7 @@ def test_body_model_matches_torch_oracle():
     with the published `body_pose_model.pth` key names (VERDICT missing
     #2: pose had no checkpoint loader)."""
     torch = pytest.importorskip("torch")
-    import sys
-
-    sys.path.insert(0, "tests")
-    import torch_oracles as oracle
+    import torch_oracles as oracle  # tests/ on sys.path via conftest
 
     torch.manual_seed(0)
     net = oracle.BodyPose().eval()

@@ -118,13 +118,8 @@ def test_manager_loads_real_swinir_checkpoint(tmp_path):
     # synthesize a checkpoint in the real torch layout via our own export
     # path: random-init tiny params -> fake torch keys (transpose back)
     cfg = swinir.SWINIR_TEST
-    import sys
-
-    sys.path.insert(0, "tests")
-    try:
-        from test_swinir import state_numpy, torch_swinir
-    finally:
-        sys.path.remove("tests")
+    # tests/ is on sys.path absolutely via conftest
+    from test_swinir import state_numpy, torch_swinir
     import pytest as _pytest
 
     try:
