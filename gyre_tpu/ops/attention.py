@@ -29,8 +29,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BLOCK_Q = 128
-BLOCK_K = 128
+# measured on v5e (scripts + ROADMAP "Performance"): T=4096 d=40 flash
+# runs 53 ms at 128/128 blocks and 12.6 ms at >=256/512 (small blocks are
+# loop-overhead-bound); insensitive beyond that
+BLOCK_Q = 512
+BLOCK_K = 1024
 LANE = 128
 
 
@@ -44,12 +47,18 @@ def _ref_attention(q, k, v, scale):
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-                  scale, block_k, kv_valid, num_kv):
-    """One (bh, q-block, kv-block) grid step. TPU grid iterations run
-    sequentially per core, so (m, l, acc) persist in VMEM scratch across
-    the innermost kv axis — the canonical streaming-softmax layout with
-    pallas-managed double buffering of the K/V blocks."""
-    from jax.experimental import pallas as pl
+                  scale, block_k, kv_valid, chunks_per_block, kv_rows,
+                  num_kv_blocks, d_pad):
+    """One (bh, q-block, kv-grid-block) step. For T<=8192 the whole K/V
+    for this (batch, head) sits in VMEM as a single kv grid block
+    (pallas keeps it resident across q-blocks — DMA'd once per head; the
+    round-2 kv-in-the-grid layout re-fetched K/V per q-block and ran 6x
+    slower than XLA). Longer sequences split K/V into the third grid
+    axis so the double-buffered blocks fit VMEM (whole-KV at SDXL's
+    T=16384 is 8.4 MB x2 = scoped-vmem OOM), with the online-softmax
+    state carried in scratch across kv grid steps. The kernel streams
+    block_k sub-chunks out of the resident block with a fori_loop."""
+    import jax.experimental.pallas as pl
 
     ki = pl.program_id(2)
 
@@ -61,28 +70,37 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
 
     q = q_ref[0]                                       # [BQ, D] bf16
     bq = q.shape[0]
-    k = k_ref[0]                                       # [BK, D] bf16
-    v = v_ref[0]
-    # matmuls in the input dtype (bf16 feeds the MXU at full rate),
-    # accumulate + softmax statistics in f32
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale    # [BQ, BK]
-    if kv_valid != num_kv * block_k:
-        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + \
-            ki * block_k
-        s = jnp.where(col < kv_valid, s, -jnp.inf)
-    m_prev = m_scr[:]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
-    m_scr[:] = m_new
-    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    masked = kv_valid != num_kv_blocks * kv_rows
 
-    @pl.when(ki == num_kv - 1)
+    def body(ci, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(ci * block_k, block_k), :]  # [CK, D]
+        v = v_ref[0, pl.ds(ci * block_k, block_k), :]
+        # matmuls in input dtype (bf16 MXU), stats in f32
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # [BQ, CK]
+        if masked:
+            col = jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 1) + \
+                ki * kv_rows + ci * block_k
+            s = jnp.where(col < kv_valid, s, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l, acc
+
+    carry0 = (m_scr[:], l_scr[:], acc_scr[:])
+    m, l, acc = jax.lax.fori_loop(0, chunks_per_block, body, carry0)
+    m_scr[:] = m
+    l_scr[:] = l
+    acc_scr[:] = acc
+
+    @pl.when(ki == num_kv_blocks - 1)
     def _():
         o_ref[0] = (acc_scr[:] /
                     jnp.maximum(l_scr[:], 1e-20)).astype(o_ref.dtype)
@@ -111,13 +129,22 @@ def flash_attention_bhtd(q, k, v, scale: float):
     block_k = min(BLOCK_K, ((tk + 15) // 16) * 16)
     tk_pad = ((tk + block_k - 1) // block_k) * block_k
 
+    # kv grid blocks: whole KV resident when it fits (<=8192 rows at
+    # d_pad=128 = 4.2 MB, x2 double-buffered x2 tensors under the 16 MB
+    # scoped-vmem budget); longer sequences split across the grid
+    max_rows = max(block_k, (4 * 1024 * 1024) // (d_pad * 2 * 2))
+    kv_rows = min(tk_pad, (max_rows // block_k) * block_k)
+    tk_pad = ((tk_pad + kv_rows - 1) // kv_rows) * kv_rows
+    num_kv_blocks = tk_pad // kv_rows
+
     qp = _pad_to(_pad_to(q, d_pad, 3), tq_pad, 2).reshape(b * h, tq_pad, d_pad)
     kp = _pad_to(_pad_to(k, d_pad, 3), tk_pad, 2).reshape(b * h, tk_pad, d_pad)
     vp = _pad_to(_pad_to(v, d_pad, 3), tk_pad, 2).reshape(b * h, tk_pad, d_pad)
-    num_kv = tk_pad // block_k
-    kernel = functools.partial(_flash_kernel, scale=scale, block_k=block_k,
-                               kv_valid=tk, num_kv=num_kv)
-    grid = (b * h, tq_pad // BLOCK_Q, num_kv)
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, block_k=block_k, kv_valid=tk,
+        chunks_per_block=kv_rows // block_k, kv_rows=kv_rows,
+        num_kv_blocks=num_kv_blocks, d_pad=d_pad)
+    grid = (b * h, tq_pad // BLOCK_Q, num_kv_blocks)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -125,9 +152,9 @@ def flash_attention_bhtd(q, k, v, scale: float):
         in_specs=[
             pl.BlockSpec((1, BLOCK_Q, d_pad), lambda i, j, ki: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d_pad), lambda i, j, ki: (i, ki, 0),
+            pl.BlockSpec((1, kv_rows, d_pad), lambda i, j, ki: (i, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d_pad), lambda i, j, ki: (i, ki, 0),
+            pl.BlockSpec((1, kv_rows, d_pad), lambda i, j, ki: (i, ki, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, BLOCK_Q, d_pad),

@@ -1,8 +1,12 @@
 """Pallas fusion switchboard.
 
-GYRE_PALLAS_FUSION = "auto" (default: on for TPU backends, off on CPU
-where the XLA chain is faster than interpret mode), "1"/"on", "0"/"off".
-Central so models can gate per-op without each re-reading the env.
+GYRE_PALLAS_FUSION = "auto"/"1"/"on"/"0"/"off". Default OFF everywhere:
+the on-chip shootout (scripts/profile_fusion.py, v5e via axon) measured
+the fused GN+SiLU+conv3x3 kernel at 0.90x-1.03x of the XLA chain — XLA
+already fuses the normalize into the conv read well enough that the
+handarranged 3-traversal schedule buys nothing. The kernel stays as
+measured infrastructure (and the integration is exercised in interpret
+mode by tests/test_fused_norm_conv.py) for future libtpu versions.
 """
 
 from __future__ import annotations
@@ -18,12 +22,9 @@ def enabled() -> bool:
         flag = os.environ.get("GYRE_PALLAS_FUSION", "auto").lower()
         if flag in ("1", "on", "true"):
             _STATE = True
-        elif flag in ("0", "off", "false"):
-            _STATE = False
         else:
-            import jax
-
-            _STATE = jax.default_backend() in ("tpu", "axon")
+            # "auto" = off: measured no win vs XLA on v5e (module doc)
+            _STATE = False
     return _STATE
 
 

@@ -75,12 +75,20 @@ def _load_reference():
     if not os.path.isdir(REF):
         pytest.skip("reference oracle not available")
     _shim_modules(torch)
-    if "/root/reference" not in sys.path:
+    # NOTE: remove the path afterwards — the reference root has its own
+    # client.py/server.py that would shadow ours for every later test
+    # (the round-2 order-dependent ModuleNotFoundError flake)
+    added = "/root/reference" not in sys.path
+    if added:
         sys.path.insert(0, "/root/reference")
-    swin_mod = importlib.import_module(
-        "gyre.pipeline.hinters.inspyrenet.backbones.SwinTransformer")
-    net_mod = importlib.import_module(
-        "gyre.pipeline.hinters.inspyrenet.InSPyReNet")
+    try:
+        swin_mod = importlib.import_module(
+            "gyre.pipeline.hinters.inspyrenet.backbones.SwinTransformer")
+        net_mod = importlib.import_module(
+            "gyre.pipeline.hinters.inspyrenet.InSPyReNet")
+    finally:
+        if added and "/root/reference" in sys.path:
+            sys.path.remove("/root/reference")
     return torch, swin_mod, net_mod
 
 
