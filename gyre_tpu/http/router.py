@@ -251,6 +251,7 @@ class HttpHandler(BaseHTTPRequestHandler):
                     "batches": len(sizes),
                     "coalesced_requests": disp.coalesced_requests,
                     "max_merged_requests": max(sizes, default=0),
+                    "interleaved_chunks": disp.interleaved_chunks,
                     "dispatched": disp.dispatched[-50:],
                 }
             return self._send_json({"engines": self.manager.status(),

@@ -84,7 +84,7 @@ class EngineManager:
 
     def __init__(self, engine_specs: list[dict] | list[EngineSpec],
                  mesh=None, compute_dtype=jnp.bfloat16, batch_max: int = 4,
-                 weight_resolver=None):
+                 weight_resolver=None, interleave: int = 2):
         entries = [s for s in engine_specs if isinstance(s, dict)]
         hintset_entries = [e for e in entries if "hintset_id" in e]
         # model_id entries: the shared model registry "@ref"s resolve
@@ -126,7 +126,8 @@ class EngineManager:
         from .scheduler import CoalescingDispatcher
 
         self.dispatcher = CoalescingDispatcher(max_batch=max(batch_max * 2,
-                                                             8))
+                                                             8),
+                                               interleave=interleave)
 
     # ------------------------------------------------------------ loading
 
@@ -638,15 +639,21 @@ class EngineManager:
             from ..models import pose as pose_mod
 
             state = self.spec_state_dict(spec)
-            if state is not None:
+            body = state is not None
+            if body:
                 # published openpose body checkpoint
                 # (@body-pose-network, config/models/hinters.yaml)
                 params = pose_mod.load_body(state, dtype=jnp.float32)
-                fn = _jax.jit(pose_mod.estimate_and_render_body)
             else:
                 params = pose_mod.init(_jax.random.PRNGKey(seed),
                                        dtype=jnp.float32)
-                fn = _jax.jit(pose_mod.estimate_and_render_multi)
+            # top-down refinement by default (the reference's pose stack
+            # is top-down mmdet+mmpose); `refine: none` keeps the single
+            # bottom-up pass
+            if str(spec.params.get("refine", "topdown")) != "none":
+                return pose_mod.make_topdown(params, body=body)
+            fn = _jax.jit(pose_mod.estimate_and_render_body if body
+                          else pose_mod.estimate_and_render_multi)
 
             def run(img):
                 return fn(params, jnp.asarray(img, jnp.float32))

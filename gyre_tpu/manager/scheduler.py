@@ -19,6 +19,14 @@ merged into ONE batch:
   * Merged batches keep chunked dispatch: cancellation applies when ALL
     participating clients cancel (a shared batch can't die for one
     client), and each job's future still resolves to its own rows.
+  * Incompatible concurrent requests INTERLEAVE at chunk granularity:
+    pipelines expose `begin()` (a generator yielding between compiled
+    chunk dispatches, pipeline/unified.py), and the dispatcher
+    round-robins up to `interleave` active batches. A 50-step 1024
+    solo request no longer head-of-line-blocks a queued 512 request
+    for its whole duration — the single-chip answer to the QoS the
+    reference's per-GPU device pool gave for free. Batches waiting for
+    a slot keep absorbing compatible arrivals up to max_batch.
 """
 
 from __future__ import annotations
@@ -54,6 +62,9 @@ class Job:
     future: Future = field(default_factory=Future)
     stop_event: object = None
 
+    def rows(self) -> int:
+        return len(self.kwargs.get("seeds") or [1])
+
     def coalesce_key(self):
         kw = self.kwargs
         if kw.get("init_image") is not None or \
@@ -72,17 +83,38 @@ class Job:
                 bool(np.all(np.asarray(kw.get("guidance_scale", 7.5)) > 1)))
 
 
+@dataclass
+class _Batch:
+    """A pending-or-active unit of device work: one or more coalesced
+    jobs, executed either through a chunk generator (interleavable) or
+    as a single blocking call."""
+
+    jobs: list
+    key: object
+    deadline: float = 0.0        # gather window end (pending only)
+    gen: object = None           # chunk stepper once started
+    counts: list = field(default_factory=list)
+
+    def rows(self) -> int:
+        return sum(j.rows() for j in self.jobs)
+
+
 class CoalescingDispatcher:
-    def __init__(self, max_batch: int = 8, gather_ms: float = 10.0):
+    def __init__(self, max_batch: int = 8, gather_ms: float = 10.0,
+                 interleave: int = 2):
         self.max_batch = max_batch
         self.gather_ms = gather_ms
+        self.interleave = max(1, int(interleave))
         self._q: queue.Queue[Job] = queue.Queue()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._stop = threading.Event()
         self._started = False
+        self._pending: list[_Batch] = []
+        self._active: list[_Batch] = []
         # observability: batch sizes actually dispatched (requests, rows)
         self.dispatched: list[tuple[int, int]] = []
         self.coalesced_requests = 0
+        self.interleaved_chunks = 0
 
     def start(self):
         if not self._started:
@@ -104,103 +136,169 @@ class CoalescingDispatcher:
 
     def _run(self):
         while not self._stop.is_set():
-            job = self._q.get()
-            if job is None:
-                continue
-            batch = [job]
-            key = job.coalesce_key()
-            if key is not None:
-                deadline = time.monotonic() + self.gather_ms / 1000.0
-                n = len(job.kwargs.get("seeds") or [1])
-                overflow = []
-                while n < self.max_batch:
-                    timeout = deadline - time.monotonic()
-                    if timeout <= 0:
-                        break
+            busy = bool(self._active) or bool(self._pending)
+            self._drain(block=not busy)
+            self._admit()
+            self._advance()
+
+    def _drain(self, block: bool):
+        """Move queued jobs into pending batches (coalescing on arrival).
+        Blocks only when there is nothing to do."""
+        try:
+            job = self._q.get(block=block, timeout=0.25 if block else None) \
+                if block else self._q.get(block=False)
+        except queue.Empty:
+            return
+        while True:
+            if job is not None:
+                self._enqueue(job)
+            try:
+                job = self._q.get(block=False)
+            except queue.Empty:
+                return
+
+    def _enqueue(self, job: Job):
+        key = job.coalesce_key()
+        if key is not None:
+            for b in self._pending:
+                if b.key == key and b.rows() + job.rows() <= self.max_batch:
+                    b.jobs.append(job)
+                    return
+        self._pending.append(_Batch(
+            jobs=[job], key=key,
+            deadline=time.monotonic() + self.gather_ms / 1000.0))
+
+    def _admit(self):
+        """Start pending batches while interleave slots are free. A
+        coalescible batch rides out its gather window before starting so
+        burst traffic merges instead of splitting into undersized
+        batches: when the device is idle the window is a blocking wait
+        on the queue (exactly the pre-interleave behavior); when other
+        batches are active the chunk cadence provides the wait and the
+        batch keeps absorbing compatible arrivals until a cycle finds it
+        ready."""
+        while self._pending and len(self._active) < self.interleave:
+            b = self._pending[0]
+            if (b.key is not None and not self._active and
+                    b.rows() < self.max_batch):
+                timeout = b.deadline - time.monotonic()
+                if timeout > 0:
                     try:
                         nxt = self._q.get(timeout=timeout)
                     except queue.Empty:
-                        break
-                    if nxt is None:
-                        break
-                    if nxt.coalesce_key() == key:
-                        batch.append(nxt)
-                        n += len(nxt.kwargs.get("seeds") or [1])
-                    else:
-                        overflow.append(nxt)
-                for item in overflow:
-                    self._q.put(item)
-            self._execute(batch)
+                        nxt = None
+                    if nxt is not None:
+                        self._enqueue(nxt)
+                    continue
+            ready = None
+            for b in self._pending:
+                if (b.key is None or b.rows() >= self.max_batch or
+                        time.monotonic() >= b.deadline):
+                    ready = b
+                    break
+            if ready is None:
+                return
+            self._pending.remove(ready)
+            self._start(ready)
 
-    def _execute(self, jobs: list[Job]):
-        live = [j for j in jobs
+    def _start(self, b: _Batch):
+        live = [j for j in b.jobs
                 if not (j.stop_event is not None and j.stop_event.is_set())]
-        for j in jobs:
+        for j in b.jobs:
             if j not in live:
                 j.future.cancel()
         if not live:
             return
-        if len(live) == 1:
-            job = live[0]
-            try:
-                result = job.pipe(**job.kwargs)
-                # materialize HERE: device work (including the d2h
-                # transfer) must stay on this thread. Handing a lazy jax
-                # array to a gRPC thread makes that thread sync with the
-                # device, and the experimental axon remote client wedges
-                # under cross-thread sync (first-request hang).
-                if result is not None:
-                    result = np.asarray(result)
-                self.dispatched.append(
-                    (1, len(job.kwargs.get("seeds") or [1])))
-                job.future.set_result(result)
-            except Exception as e:  # noqa: BLE001
-                job.future.set_exception(e)
-            return
+        b.jobs = live
+        b.counts = [j.rows() for j in live]
 
-        # merge: per-sample prompts, seeds, guidance
         pipe = live[0].pipe
-        merged = dict(live[0].kwargs)
-        prompts_m, negs, seeds, gs = [], [], [], []
-        counts = []
-        for j in live:
-            kw = j.kwargs
-            s = list(kw.get("seeds") or [0])
-            counts.append(len(s))
-            seeds.extend(s)
-            prompts_m.extend([kw.get("prompt", "")] * len(s))
-            negs.extend([kw.get("negative_prompt", "")] * len(s))
-            g = np.asarray(kw.get("guidance_scale", 7.5),
-                           np.float32).reshape(-1)
-            gs.extend(list(np.broadcast_to(g, (len(s),))))
-        merged.update(prompt=prompts_m, negative_prompt=negs, seeds=seeds,
-                      guidance_scale=gs)
-        # shared batches cancel only when every client cancelled
-        if any("stop_event" in j.kwargs for j in live):
-            merged["stop_event"] = CombinedEvent(
-                [j.kwargs.get("stop_event") for j in live])
-        logger.info("coalesced %d requests into batch %d", len(live),
-                    len(seeds))
-        try:
-            images = pipe(**merged)
-            self.dispatched.append((len(live), len(seeds)))
-            self.coalesced_requests += len(live)
-            if images is None:  # all clients cancelled mid-batch
-                for j in live:
-                    j.future.set_result(None)
-                return
-            images = np.asarray(images)
-            off = 0
-            for j, n in zip(live, counts):
-                j.future.set_result(images[off:off + n])
-                off += n
-        except Exception:  # noqa: BLE001
-            logger.exception("coalesced batch failed; falling back to solo")
+        if len(live) == 1:
+            merged = dict(live[0].kwargs)
+        else:
+            # merge: per-sample prompts, seeds, guidance
+            merged = dict(live[0].kwargs)
+            prompts_m, negs, seeds, gs = [], [], [], []
             for j in live:
-                try:
-                    solo = j.pipe(**j.kwargs)
-                    if solo is not None:
-                        solo = np.asarray(solo)
-                    j.future.set_result(solo)
-                except Exception as e2:  # noqa: BLE001
-                    j.future.set_exception(e2)
+                kw = j.kwargs
+                s = list(kw.get("seeds") or [0])
+                seeds.extend(s)
+                prompts_m.extend([kw.get("prompt", "")] * len(s))
+                negs.extend([kw.get("negative_prompt", "")] * len(s))
+                g = np.asarray(kw.get("guidance_scale", 7.5),
+                               np.float32).reshape(-1)
+                gs.extend(list(np.broadcast_to(g, (len(s),))))
+            merged.update(prompt=prompts_m, negative_prompt=negs,
+                          seeds=seeds, guidance_scale=gs)
+            # shared batches cancel only when every client cancelled
+            if any("stop_event" in j.kwargs for j in live):
+                merged["stop_event"] = CombinedEvent(
+                    [j.kwargs.get("stop_event") for j in live])
+            logger.info("coalesced %d requests into batch %d", len(live),
+                        len(seeds))
+
+        begin = getattr(pipe, "begin", None)
+        if begin is not None:
+            try:
+                b.gen = begin(**merged)
+            except Exception as e:  # noqa: BLE001
+                self._fail(b, e)
+                return
+            self._active.append(b)
+            return
+        # no stepper (task pipelines / plain callables): run blocking
+        self._finish(b, lambda: pipe(**merged))
+
+    def _advance(self):
+        """Advance every active batch by one compiled chunk (round-robin
+        at chunk granularity)."""
+        for b in list(self._active):
+            try:
+                next(b.gen)
+                self.interleaved_chunks += len(self._active) > 1
+            except StopIteration as e:
+                self._active.remove(b)
+                self._finish(b, lambda _v=e.value: _v)
+            except Exception as e:  # noqa: BLE001
+                self._active.remove(b)
+                self._fail(b, e)
+
+    def _finish(self, b: _Batch, result_fn):
+        try:
+            result = result_fn()
+            # materialize HERE: device work (including the d2h transfer)
+            # must stay on this thread. Handing a lazy jax array to a gRPC
+            # thread makes that thread sync with the device, and the
+            # experimental axon remote client wedges under cross-thread
+            # sync (first-request hang).
+            if result is not None:
+                result = np.asarray(result)
+        except Exception as e:  # noqa: BLE001
+            self._fail(b, e)
+            return
+        self.dispatched.append((len(b.jobs), b.rows()))
+        if len(b.jobs) > 1:
+            self.coalesced_requests += len(b.jobs)
+        if result is None or len(b.jobs) == 1:
+            for j in b.jobs:
+                j.future.set_result(result)
+            return
+        off = 0
+        for j, n in zip(b.jobs, b.counts):
+            j.future.set_result(result[off:off + n])
+            off += n
+
+    def _fail(self, b: _Batch, exc: Exception):
+        if len(b.jobs) == 1:
+            b.jobs[0].future.set_exception(exc)
+            return
+        logger.exception("coalesced batch failed; falling back to solo",
+                         exc_info=exc)
+        for j in b.jobs:
+            try:
+                solo = j.pipe(**j.kwargs)
+                if solo is not None:
+                    solo = np.asarray(solo)
+                j.future.set_result(solo)
+            except Exception as e2:  # noqa: BLE001
+                j.future.set_exception(e2)

@@ -526,7 +526,28 @@ class UnifiedPipeline:
 
     # ------------------------------------------------------------ generate
 
-    def __call__(self, *,
+    def __call__(self, **kwargs):
+        """Run generation; returns images [B,H,W,3] float32 in [0,1].
+        See _generate for the argument surface."""
+        gen = self._generate(**kwargs)
+        while True:
+            try:
+                next(gen)
+            except StopIteration as e:
+                return e.value
+
+    def begin(self, **kwargs):
+        """Chunk-granular stepper for the dispatcher: a generator that
+        yields (steps_done, steps_total) after every compiled chunk
+        dispatch; its StopIteration value is the images (or None on
+        cancel). Lets the single device-owner thread interleave several
+        requests at chunk granularity — this framework's answer to the
+        reference's per-GPU device pool (gyre/manager.py:2081-2139),
+        where long requests can't head-of-line-block short ones because
+        each GPU is its own queue."""
+        return self._generate(**kwargs)
+
+    def _generate(self, *,
                  prompt: str = "",
                  negative_prompt: str = "",
                  height: int = 512,
@@ -566,7 +587,8 @@ class UnifiedPipeline:
                  chunk_steps: int = 0,
                  return_latents: bool = False,
                  output_dtype: str | None = None):
-        """Run generation; returns images [B,H,W,3] float32 in [0,1].
+        """Generator body behind __call__/begin; returns images
+        [B,H,W,3] float32 in [0,1] (via StopIteration.value).
 
         mask convention: the proto/reference mask is white=regenerate
         (gyre/services/generate.py mask handling); internally we keep
@@ -936,6 +958,7 @@ class UnifiedPipeline:
                     progress_callback(done, n_steps)
                 if stop_event is not None and stop_event.is_set():
                     return None
+                yield done, n_steps
         else:
             up, ks, cu, cg, ga, il, mk, ex = core_args
             x0, _, _ = self.core(spec)(up, sigmas, ks, cu, cg, ga, il,

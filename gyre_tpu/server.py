@@ -67,6 +67,12 @@ def parse_args(argv=None):
                           "measure from XLA memory analysis at startup "
                           "(the reference's BatchMode autodetect, "
                           "gyre/manager.py:202-282)")
+    gen.add_argument("--interleave", type=int,
+                     default=int(os.environ.get("SD_INTERLEAVE", "2")),
+                     help="max concurrently-active batches the dispatcher "
+                          "round-robins at chunk granularity (prevents a "
+                          "long request head-of-line-blocking short ones; "
+                          "1 = serial)")
     gen.add_argument("--grpc_workers", type=int,
                      default=int(os.environ.get("SD_GRPC_WORKERS", 16)),
                      help="gRPC thread pool size; must exceed batch_max "
@@ -232,7 +238,8 @@ def build_manager(args):
         else int(args.batch_max)
     return EngineManager(entries, mesh=mesh, compute_dtype=dtype,
                          batch_max=batch_max,
-                         weight_resolver=resolver)
+                         weight_resolver=resolver,
+                         interleave=int(args.interleave))
 
 
 class TokenAuthInterceptor:

@@ -50,6 +50,51 @@ def test_concurrent_requests_coalesce_and_match_solo(pipe):
         np.testing.assert_allclose(m, s, atol=0.03)
 
 
+def test_begin_steps_chunks_and_matches_call(pipe):
+    kw = dict(KW, prompt="stepper", seeds=[7], steps=4, chunk_steps=2,
+              stop_event=threading.Event())
+    gen = pipe.begin(**kw)
+    yields = []
+    while True:
+        try:
+            yields.append(next(gen))
+        except StopIteration as e:
+            result = e.value
+            break
+    assert yields == [(2, 4), (4, 4)]
+    solo = np.asarray(pipe(**kw))
+    np.testing.assert_allclose(np.asarray(result), solo, atol=1e-5)
+
+
+def test_interleave_short_request_not_blocked_by_long(pipe):
+    """A queued short request must complete before an in-flight long one
+    finishes (chunk-granular round-robin, interleave=2)."""
+    dispatcher = CoalescingDispatcher(max_batch=8, gather_ms=5.0,
+                                      interleave=2)
+    order = []
+    long_kw = dict(KW, prompt="long", seeds=[1], steps=12, chunk_steps=2,
+                   stop_event=threading.Event())
+    short_kw = dict(KW, prompt="short", seeds=[2], steps=2, chunk_steps=1,
+                    stop_event=threading.Event())
+    # warm the compiled programs so chunk cadence, not compile time,
+    # decides ordering
+    pipe(**long_kw)
+    pipe(**short_kw)
+
+    f_long = dispatcher.submit(pipe, dict(long_kw))
+    time.sleep(0.05)  # long batch is active before short arrives
+    f_short = dispatcher.submit(pipe, dict(short_kw))
+    f_long.add_done_callback(lambda f: order.append("long"))
+    f_short.add_done_callback(lambda f: order.append("short"))
+    short = np.asarray(f_short.result(timeout=300))
+    f_long.result(timeout=300)
+    dispatcher.stop()
+    assert order[0] == "short"
+    assert dispatcher.interleaved_chunks > 0
+    np.testing.assert_allclose(short, np.asarray(pipe(**short_kw)),
+                               atol=1e-5)
+
+
 def test_per_sample_guidance_matches_scalar(pipe):
     a = np.asarray(pipe(prompt=["a cat", "a cat"], seeds=[1, 2],
                         guidance_scale=[7.5, 7.5], **KW))
