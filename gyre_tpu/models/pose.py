@@ -106,12 +106,14 @@ def heatmaps_and_pafs(params: Params, images: jax.Array):
     return maps, pafs
 
 
-def decode_keypoints(maps: jax.Array):
+def decode_keypoints(maps: jax.Array, apply_sigmoid: bool = True):
     """[B,h,w,K] -> (xy [B,K,2] in 0..1 coords, confidence [B,K])."""
     b, h, w, k = maps.shape
     flat = maps.reshape(b, h * w, k)
     idx = jnp.argmax(flat, axis=1)                      # [B,K]
-    conf = jax.nn.sigmoid(jnp.max(flat, axis=1))
+    conf = jnp.max(flat, axis=1)
+    if apply_sigmoid:
+        conf = jax.nn.sigmoid(conf)
     ys = (idx // w).astype(jnp.float32) / max(h - 1, 1)
     xs = (idx % w).astype(jnp.float32) / max(w - 1, 1)
     return jnp.stack([xs, ys], axis=-1), conf
@@ -206,9 +208,25 @@ def match_limbs(xy: jax.Array, conf: jax.Array, pafs: jax.Array,
     each endpoint is the other's best-scoring partner, both keypoint
     confidences pass, and the PAF line integral is positive — the static
     equivalent of OpenPose's greedy bipartite assignment."""
-    n_limbs = len(LIMBS)
+    pa, pb, ok, _ = _match_limbs_full(xy, conf, pafs, conf_threshold,
+                                      paf_threshold)
+    return pa, pb, ok
+
+
+def match_limb_indices(xy: jax.Array, conf: jax.Array, pafs: jax.Array,
+                       conf_threshold: float = 0.3,
+                       paf_threshold: float = 0.05):
+    """Like match_limbs but returns (best_j [L,P] int32, ok [L,P]):
+    per limb, peak i of the limb's A-joint matches peak best_j[i] of its
+    B-joint (valid where ok). Used for person grouping."""
+    _, _, ok, best_j = _match_limbs_full(xy, conf, pafs, conf_threshold,
+                                         paf_threshold)
+    return best_j, ok
+
+
+def _match_limbs_full(xy, conf, pafs, conf_threshold, paf_threshold):
     p = xy.shape[1]
-    pa_out, pb_out, ok_out = [], [], []
+    pa_out, pb_out, ok_out, bj_out = [], [], [], []
     for li, (a, b) in enumerate(LIMBS):
         paf_x = pafs[..., 2 * li]
         paf_y = pafs[..., 2 * li + 1]
@@ -227,7 +245,9 @@ def match_limbs(xy: jax.Array, conf: jax.Array, pafs: jax.Array,
         pa_out.append(xy[a])
         pb_out.append(xy[b][best_j])
         ok_out.append(ok.astype(jnp.float32))
-    return (jnp.stack(pa_out), jnp.stack(pb_out), jnp.stack(ok_out))
+        bj_out.append(best_j.astype(jnp.int32))
+    return (jnp.stack(pa_out), jnp.stack(pb_out), jnp.stack(ok_out),
+            jnp.stack(bj_out))
 
 
 def render_limbs(pa: jax.Array, pb: jax.Array, ok: jax.Array,
@@ -410,3 +430,166 @@ def estimate_and_render_body(params: Params, images: jax.Array,
         return render_limbs(pa, pb, ok, images.shape[1], images.shape[2])
 
     return jax.vmap(one)(xy, conf, pafs)
+
+
+# --------------------------------------------- top-down refinement
+# The reference's pose stack is top-down: an mmdet person detector crops
+# each person, then mmpose refines keypoints per crop
+# (gyre/pipeline/hinters/mmpose_pipeline.py:60-180). Redesigned
+# detector-free for TPU: the bottom-up PAF pass above IS the person
+# detector — accepted limbs are union-found into person clusters (host,
+# runs once per request like the reference's python decode), and one
+# batched compiled pass re-runs the SAME network on max_people
+# fixed-size crops, where per-joint argmax is exact because each crop
+# frames one person at much higher effective resolution.
+
+
+def group_people(xy, conf, best_j, ok, min_joints: int = 3,
+                 margin: float = 0.25, max_people: int = 8):
+    """Union-find accepted limbs into person clusters -> square-ish
+    crop boxes. Host-side numpy (tiny arrays: [K,P] indices).
+
+    xy [K,P,2] 0..1, conf [K,P], best_j/ok [L,P] -> (boxes [M,4]
+    (x0,y0,x1,y1) in 0..1, valid [M] bool), M = max_people.
+    """
+    xy = np.asarray(xy)
+    conf = np.asarray(conf)
+    best_j = np.asarray(best_j)
+    ok = np.asarray(ok)
+    p = xy.shape[1]
+
+    parent = {}
+
+    def find(n):
+        while parent.setdefault(n, n) != n:
+            parent[n] = parent[parent[n]]
+            n = parent[n]
+        return n
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for li, (a, b) in enumerate(LIMBS):
+        for i in range(p):
+            if ok[li, i] > 0:
+                union((a, i), (b, int(best_j[li, i])))
+
+    clusters: dict = {}
+    for node in list(parent):
+        clusters.setdefault(find(node), []).append(node)
+
+    boxes, valid = [], []
+    for members in sorted(clusters.values(), key=len, reverse=True):
+        joints = {k for (k, _) in members}
+        if len(joints) < min_joints:
+            continue
+        pts = np.stack([xy[k, i] for (k, i) in members])
+        x0, y0 = pts.min(axis=0)
+        x1, y1 = pts.max(axis=0)
+        # expand: margin fraction of the larger side, min size floor so
+        # a head-only cluster still crops enough context
+        side = max(x1 - x0, y1 - y0, 0.1)
+        mx = my = margin * side
+        boxes.append([max(x0 - mx, 0.0), max(y0 - my, 0.0),
+                      min(x1 + mx, 1.0), min(y1 + my, 1.0)])
+        valid.append(True)
+        if len(boxes) >= max_people:
+            break
+    while len(boxes) < max_people:
+        boxes.append([0.0, 0.0, 1.0, 1.0])
+        valid.append(False)
+    return (np.asarray(boxes, np.float32),
+            np.asarray(valid, np.bool_))
+
+
+def _bilinear_crop(image: jax.Array, box: jax.Array, crop: int):
+    """Sample a [crop,crop,3] patch of `image` [H,W,3] over the 0..1 box
+    (x0,y0,x1,y1) with bilinear interpolation (traced box -> static
+    output shape, jit/vmap-friendly)."""
+    h, w = image.shape[0], image.shape[1]
+    x0, y0, x1, y1 = box[0], box[1], box[2], box[3]
+    ys = (y0 + (y1 - y0) * jnp.linspace(0.0, 1.0, crop)) * (h - 1)
+    xs = (x0 + (x1 - x0) * jnp.linspace(0.0, 1.0, crop)) * (w - 1)
+    yi = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 2)
+    xi = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 2)
+    fy = (ys - yi)[:, None, None]
+    fx = (xs - xi)[None, :, None]
+    rows0 = image[yi]                                  # [C,W,3]
+    rows1 = image[yi + 1]
+    p00 = rows0[:, xi]
+    p01 = rows0[:, xi + 1]
+    p10 = rows1[:, xi]
+    p11 = rows1[:, xi + 1]
+    return (p00 * (1 - fy) * (1 - fx) + p01 * (1 - fy) * fx +
+            p10 * fy * (1 - fx) + p11 * fy * fx)
+
+
+def _refine_pass(params, image, boxes, valid, height, width,
+                 crop, body, threshold):
+    """Compiled second pass: crop -> re-run net -> single-person argmax
+    decode -> per-person skeleton canvases, max-combined."""
+    crops = jax.vmap(lambda b: _bilinear_crop(image, b, crop))(boxes)
+    if body:
+        heat, _ = body_apply(params, crops)
+    else:
+        heat, _ = heatmaps_and_pafs(params, crops)
+    kps, conf = decode_keypoints(heat, apply_sigmoid=not body)  # [M,K,*]
+    # crop coords -> image coords
+    origin = boxes[:, None, 0:2]
+    size = boxes[:, None, 2:4] - origin
+    kps = origin + kps * size
+    conf = conf * valid[:, None]
+
+    def one(kp, cf):
+        return render_openpose(kp[None], cf[None], height, width,
+                               threshold=threshold)[0]
+
+    return jax.vmap(one)(kps, conf).max(axis=0)
+
+
+def make_topdown(params: Params, body: bool = True, max_people: int = 8,
+                 crop: int = 368, threshold: float = 0.1):
+    """Build the two-pass top-down pose hinter. Returns a callable
+    [B,H,W,3] -> [B,H,W,3] skeleton canvas. Two jitted programs with a
+    host union-find between them; compiled once each, reused across
+    requests."""
+    sig = not body  # random-init PoseNet emits logits; body CPM emits [0,1]
+
+    @jax.jit
+    def coarse(images):
+        if body:
+            maps, pafs = body_apply(params, images)
+        else:
+            maps, pafs = heatmaps_and_pafs(params, images)
+        xy, conf = top_peaks(maps, max_people, apply_sigmoid=sig)
+        bj, ok = jax.vmap(lambda x, c, pf: match_limb_indices(
+            x, c, pf, conf_threshold=threshold,
+            paf_threshold=0.05))(xy, conf, pafs)
+        return xy, conf, bj, ok
+
+    @jax.jit
+    def refine(image, boxes, valid, fallback):
+        out = _refine_pass(params, image, boxes, valid,
+                           image.shape[0], image.shape[1],
+                           crop, body, threshold)
+        # no people found -> keep the bottom-up render
+        return jnp.where(jnp.any(valid), out, fallback)
+
+    bottom_up = estimate_and_render_body if body \
+        else estimate_and_render_multi
+
+    def run(images):
+        images = jnp.asarray(images, jnp.float32)
+        xy, conf, bj, ok = coarse(images)
+        fallback = bottom_up(params, images, max_people=max_people)
+        outs = []
+        for b in range(images.shape[0]):
+            boxes, valid = group_people(xy[b], conf[b], bj[b], ok[b],
+                                        max_people=max_people)
+            outs.append(refine(images[b], jnp.asarray(boxes),
+                               jnp.asarray(valid), fallback[b]))
+        return jnp.stack(outs)
+
+    return run

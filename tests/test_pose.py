@@ -144,3 +144,63 @@ def test_body_estimate_and_render_runs():
     canvas = pose.estimate_and_render_body(params, img, max_people=4)
     assert canvas.shape == (1, 64, 64, 3)
     assert np.isfinite(np.asarray(canvas)).all()
+
+
+def test_bilinear_crop_identity_and_subbox():
+    rng = np.random.default_rng(3)
+    img = rng.random((16, 16, 3)).astype(np.float32)
+    full = pose._bilinear_crop(jnp.asarray(img),
+                               jnp.asarray([0, 0, 1, 1], jnp.float32), 16)
+    np.testing.assert_allclose(np.asarray(full), img, atol=5e-6)
+    # box aligned to the pixel grid: (0.2..0.8)*15 = rows/cols 3..12
+    sub = pose._bilinear_crop(
+        jnp.asarray(img), jnp.asarray([0.2, 0.2, 0.8, 0.8], jnp.float32),
+        10)
+    np.testing.assert_allclose(np.asarray(sub), img[3:13, 3:13], atol=1e-5)
+
+
+def test_group_people_two_clusters():
+    """Two synthetic persons' accepted limbs union-find into two boxes
+    covering each person's joints."""
+    k, p = pose.N_KEYPOINTS, 4
+    xy = np.zeros((k, p, 2), np.float32)
+    conf = np.zeros((k, p), np.float32)
+    # limbs 0=(1,2), 1=(1,5): person0 peaks at slot 0, person1 at slot 1
+    pts = {0: {1: (0.2, 0.2), 2: (0.2, 0.35), 5: (0.25, 0.35)},
+           1: {1: (0.7, 0.2), 2: (0.7, 0.35), 5: (0.75, 0.35)}}
+    for slot, joints in pts.items():
+        for j, (x, y) in joints.items():
+            xy[j, slot] = (x, y)
+            conf[j, slot] = 0.9
+    n_limbs = len(pose.LIMBS)
+    best_j = np.zeros((n_limbs, p), np.int32)
+    ok = np.zeros((n_limbs, p), np.float32)
+    for li in (0, 1):
+        for slot in (0, 1):
+            best_j[li, slot] = slot
+            ok[li, slot] = 1.0
+    boxes, valid = pose.group_people(xy, conf, best_j, ok, max_people=4)
+    assert valid.sum() == 2
+    for slot in (0, 1):
+        px = [v[0] for v in pts[slot].values()]
+        py = [v[1] for v in pts[slot].values()]
+        hit = [i for i in range(4) if valid[i] and
+               boxes[i, 0] <= min(px) and boxes[i, 2] >= max(px) and
+               boxes[i, 1] <= min(py) and boxes[i, 3] >= max(py)]
+        assert hit, f"no box covers person {slot}"
+    # the two persons land in different boxes
+    b0 = [i for i in range(4) if valid[i] and boxes[i, 2] < 0.6]
+    b1 = [i for i in range(4) if valid[i] and boxes[i, 0] > 0.4]
+    assert b0 and b1 and b0 != b1
+
+
+def test_topdown_runs_and_falls_back():
+    """make_topdown end-to-end on a random net: shapes, finiteness, and
+    bottom-up fallback when no person cluster is found."""
+    params = pose.init(jax.random.PRNGKey(0))
+    img = np.random.default_rng(5).random((1, 64, 64, 3)).astype(np.float32)
+    fn = pose.make_topdown(params, body=False, max_people=4, crop=32,
+                           threshold=0.1)
+    out = np.asarray(fn(img))
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(out).all()
