@@ -164,6 +164,7 @@ def _boot_server(tag: str):
         [sys.executable, "server.py", "--enginecfg", cfg,
          "--grpc_port", str(GRPC_PORT), "--http_port", str(HTTP_PORT),
          "--batch_max", "8", "--nsfw_behaviour", "ignore",
+         "--gather_ms", "100",  # burst workload: merge the full client set
          "--prewarm", "off", "--cache_path", CACHE_PATH],
         stdout=log, stderr=log, cwd=os.path.dirname(os.path.abspath(__file__)))
     deadline = time.monotonic() + 600
@@ -236,21 +237,30 @@ def phase_serving():
         lat: list[float] = []
         errs: list[str] = []
 
-        def client(cid: int):
+        def client(cid: int, rounds: int):
             try:
-                for r in range(ROUNDS):
+                for r in range(rounds):
                     lat.append(_one_request(1000 + cid * 10 + r))
             except Exception as e:  # noqa: BLE001
                 errs.append(str(e))
 
-        t0 = time.perf_counter()
-        threads = [threading.Thread(target=client, args=(c,))
-                   for c in range(N_CLIENTS)]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        wall = time.perf_counter() - t0
+        def burst(rounds: int) -> float:
+            t0 = time.perf_counter()
+            threads = [threading.Thread(target=client, args=(c, rounds))
+                       for c in range(N_CLIENTS)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            return time.perf_counter() - t0
+
+        # warm-up burst (unmeasured): compiles the merged-batch bucket
+        # programs so the measured rounds are steady-state serving, not
+        # XLA compile time
+        burst(1)
+        lat.clear()
+        errs.clear()
+        wall = burst(ROUNDS)
         if errs:
             out["serve_errors"] = errs[:3]
         if lat:
@@ -262,6 +272,7 @@ def phase_serving():
         st = _status().get("dispatcher", {})
         out["serve_max_merged_requests"] = st.get("max_merged_requests", 0)
         out["serve_batches"] = st.get("batches", 0)
+        out["serve_padded_rows"] = st.get("padded_rows", 0)
     finally:
         proc.terminate()
         try:

@@ -252,6 +252,7 @@ class HttpHandler(BaseHTTPRequestHandler):
                     "coalesced_requests": disp.coalesced_requests,
                     "max_merged_requests": max(sizes, default=0),
                     "interleaved_chunks": disp.interleaved_chunks,
+                    "padded_rows": disp.padded_rows,
                     "dispatched": disp.dispatched[-50:],
                 }
             return self._send_json({"engines": self.manager.status(),

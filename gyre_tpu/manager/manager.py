@@ -84,7 +84,8 @@ class EngineManager:
 
     def __init__(self, engine_specs: list[dict] | list[EngineSpec],
                  mesh=None, compute_dtype=jnp.bfloat16, batch_max: int = 4,
-                 weight_resolver=None, interleave: int = 2):
+                 weight_resolver=None, interleave: int = 2,
+                 gather_ms: float = 10.0):
         entries = [s for s in engine_specs if isinstance(s, dict)]
         hintset_entries = [e for e in entries if "hintset_id" in e]
         # model_id entries: the shared model registry "@ref"s resolve
@@ -127,7 +128,8 @@ class EngineManager:
 
         self.dispatcher = CoalescingDispatcher(max_batch=max(batch_max * 2,
                                                              8),
-                                               interleave=interleave)
+                                               interleave=interleave,
+                                               gather_ms=gather_ms)
 
     # ------------------------------------------------------------ loading
 

@@ -19,6 +19,14 @@ merged into ONE batch:
   * Merged batches keep chunked dispatch: cancellation applies when ALL
     participating clients cancel (a shared batch can't die for one
     client), and each job's future still resolves to its own rows.
+  * Merged batches are PADDED to the next power-of-two bucket
+    (1/2/4/8, capped at max_batch): every compiled program shape is
+    drawn from a tiny fixed set, so a 3-request merge reuses the
+    batch-4 executable instead of compiling a one-off batch-3 program.
+    XLA compiles are minutes-scale on first sight; per-image step time
+    is nearly flat in batch, so the pad rows cost a fraction of one
+    batch while saving whole compiles. Pad rows are sliced off before
+    futures resolve.
   * Incompatible concurrent requests INTERLEAVE at chunk granularity:
     pipelines expose `begin()` (a generator yielding between compiled
     chunk dispatches, pipeline/unified.py), and the dispatcher
@@ -94,6 +102,7 @@ class _Batch:
     deadline: float = 0.0        # gather window end (pending only)
     gen: object = None           # chunk stepper once started
     counts: list = field(default_factory=list)
+    padded: int = 0              # pad rows appended for shape bucketing
 
     def rows(self) -> int:
         return sum(j.rows() for j in self.jobs)
@@ -101,10 +110,11 @@ class _Batch:
 
 class CoalescingDispatcher:
     def __init__(self, max_batch: int = 8, gather_ms: float = 10.0,
-                 interleave: int = 2):
+                 interleave: int = 2, bucket: bool = True):
         self.max_batch = max_batch
         self.gather_ms = gather_ms
         self.interleave = max(1, int(interleave))
+        self.bucket = bucket
         self._q: queue.Queue[Job] = queue.Queue()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._stop = threading.Event()
@@ -115,6 +125,7 @@ class CoalescingDispatcher:
         self.dispatched: list[tuple[int, int]] = []
         self.coalesced_requests = 0
         self.interleaved_chunks = 0
+        self.padded_rows = 0
 
     def start(self):
         if not self._started:
@@ -237,6 +248,10 @@ class CoalescingDispatcher:
             logger.info("coalesced %d requests into batch %d", len(live),
                         len(seeds))
 
+        if b.key is not None:
+            b.padded = self._pad_to_bucket(merged, b.rows())
+            self.padded_rows += b.padded
+
         begin = getattr(pipe, "begin", None)
         if begin is not None:
             try:
@@ -248,6 +263,35 @@ class CoalescingDispatcher:
             return
         # no stepper (task pipelines / plain callables): run blocking
         self._finish(b, lambda: pipe(**merged))
+
+    def _pad_to_bucket(self, merged: dict, rows: int) -> int:
+        """Pad the merged per-row kwargs up to the next power-of-two
+        bucket (<= max_batch) by repeating the final row. Returns the
+        number of pad rows added (0 when bucketing is off, the batch is
+        already on a bucket, or rows exceed max_batch)."""
+        if not self.bucket or rows <= 0:
+            return 0
+        target = 1
+        while target < rows:
+            target *= 2
+        target = min(target, self.max_batch)
+        if target <= rows:
+            return 0
+        pad = target - rows
+
+        seeds = list(merged.get("seeds") or [0])
+        merged["seeds"] = seeds + [seeds[-1]] * pad
+        # per-row lists/vectors must stay row-aligned with seeds
+        for k in ("prompt", "negative_prompt"):
+            v = merged.get(k)
+            if isinstance(v, (list, tuple)) and len(v) == rows:
+                merged[k] = list(v) + [v[-1]] * pad
+        g = merged.get("guidance_scale")
+        if g is not None:
+            gv = np.asarray(g, np.float32).reshape(-1)
+            gv = np.broadcast_to(gv, (rows,))
+            merged["guidance_scale"] = list(gv) + [float(gv[-1])] * pad
+        return pad
 
     def _advance(self):
         """Advance every active batch by one compiled chunk (round-robin
@@ -276,6 +320,8 @@ class CoalescingDispatcher:
         except Exception as e:  # noqa: BLE001
             self._fail(b, e)
             return
+        if b.padded and result is not None:
+            result = result[:sum(b.counts)]
         self.dispatched.append((len(b.jobs), b.rows()))
         if len(b.jobs) > 1:
             self.coalesced_requests += len(b.jobs)

@@ -73,6 +73,12 @@ def parse_args(argv=None):
                           "round-robins at chunk granularity (prevents a "
                           "long request head-of-line-blocking short ones; "
                           "1 = serial)")
+    gen.add_argument("--gather_ms", type=float,
+                     default=float(os.environ.get("SD_GATHER_MS", "10")),
+                     help="coalescer gather window after the first queued "
+                          "request; raise for bursty many-client traffic "
+                          "(bigger merged batches), lower for single-"
+                          "client p50")
     gen.add_argument("--grpc_workers", type=int,
                      default=int(os.environ.get("SD_GRPC_WORKERS", 16)),
                      help="gRPC thread pool size; must exceed batch_max "
@@ -239,7 +245,8 @@ def build_manager(args):
     return EngineManager(entries, mesh=mesh, compute_dtype=dtype,
                          batch_max=batch_max,
                          weight_resolver=resolver,
-                         interleave=int(args.interleave))
+                         interleave=int(args.interleave),
+                         gather_ms=float(args.gather_ms))
 
 
 class TokenAuthInterceptor:

@@ -95,6 +95,54 @@ def test_interleave_short_request_not_blocked_by_long(pipe):
                                atol=1e-5)
 
 
+class _FakePipe:
+    """Records the batch it was called with; returns row-indexed output.
+    No `begin` attr -> dispatcher's blocking path."""
+
+    def __init__(self):
+        self.calls = []
+
+    def __call__(self, **kw):
+        seeds = kw.get("seeds") or [0]
+        self.calls.append(dict(kw))
+        return np.asarray(seeds, np.float32).reshape(-1, 1)
+
+
+def test_bucket_pads_merged_batch_to_power_of_two():
+    """A 3-row merge must dispatch at the batch-4 bucket shape (compile
+    reuse) and still resolve each future to its own unpadded rows."""
+    pipe = _FakePipe()
+    d = CoalescingDispatcher(max_batch=8, gather_ms=150.0)
+    reqs = [dict(prompt=f"p{i}", seeds=[10 + i], guidance_scale=5.0)
+            for i in range(3)]
+    futs = [d.submit(pipe, r) for r in reqs]
+    outs = [f.result(timeout=30) for f in futs]
+    d.stop()
+    assert len(pipe.calls) == 1
+    assert len(pipe.calls[0]["seeds"]) == 4  # 3 rows padded to bucket 4
+    assert pipe.calls[0]["seeds"][-1] == 12  # pad repeats the last row
+    assert len(pipe.calls[0]["prompt"]) == 4
+    assert d.padded_rows == 1
+    for i, o in enumerate(outs):
+        np.testing.assert_array_equal(o, [[10 + i]])
+
+
+def test_bucket_no_pad_on_exact_bucket_or_overflow():
+    pipe = _FakePipe()
+    d = CoalescingDispatcher(max_batch=4, gather_ms=5.0)
+    # solo 1-row: already on a bucket; kwargs must not be mutated
+    f1 = d.submit(pipe, dict(prompt="a", guidance_scale=7.5))
+    f1.result(timeout=30)
+    assert "seeds" not in pipe.calls[-1] or not pipe.calls[-1]["seeds"]
+    # 5 rows > max_batch: bucketing must not truncate or pad
+    f2 = d.submit(pipe, dict(prompt="b", seeds=list(range(5))))
+    out = f2.result(timeout=30)
+    d.stop()
+    assert len(pipe.calls[-1]["seeds"]) == 5
+    assert out.shape == (5, 1)
+    assert d.padded_rows == 0
+
+
 def test_per_sample_guidance_matches_scalar(pipe):
     a = np.asarray(pipe(prompt=["a cat", "a cat"], seeds=[1, 2],
                         guidance_scale=[7.5, 7.5], **KW))
