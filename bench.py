@@ -66,6 +66,8 @@ def phase_pipeline():
                       os.path.join(CACHE_PATH, "xla-pipeline"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    import threading
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -80,7 +82,11 @@ def phase_pipeline():
     kw = dict(prompt="a photograph of an astronaut riding a horse",
               negative_prompt="blurry", height=512, width=512, steps=20,
               sampler="k_dpmpp_2m", guidance_scale=7.5,
-              output_dtype="uint8")  # serving path: device-side quantize
+              # serving path exactly: device-side uint8 quantize + chunked
+              # dispatch (the servicer always passes a stop_event +
+              # chunk_steps=10, services/generate.py)
+              output_dtype="uint8", chunk_steps=10,
+              stop_event=threading.Event())
 
     t0 = time.perf_counter()
     np.asarray(pipe(seeds=[0], **kw))

@@ -740,8 +740,8 @@ class EngineManager:
         t0 = _time.time()
         pipe = self.pipeline(eid)
         # match the SERVING configuration exactly: the servicer always
-        # passes a stop_event, which turns on chunked dispatch
-        # (first/middle/final segment programs) — warming the unchunked
+        # passes a stop_event, which turns on chunked dispatch (one
+        # shared segment program + init/decode) — warming the unchunked
         # variant would compile a program requests never run. Route
         # through the dispatcher so the single device-owner thread does
         # the compile (prewarm runs on a background thread; direct pipe()

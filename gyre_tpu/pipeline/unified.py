@@ -308,6 +308,32 @@ class UnifiedPipeline:
 
     # ---------------------------------------------------------------- core
 
+    def _chunk_init(self, spec: StaticSpec, keys, init_latents, sigmas):
+        """Initial latents as their own tiny compiled program, so every
+        dispatch chunk runs the SAME resume=True core program. Without
+        this the first chunk (init inlined) and the later chunks are
+        different XLA programs — an extra minutes-scale compile on the
+        serving cold path for zero arithmetic difference."""
+        key = ("chunk_init", spec.mode, spec.height, spec.width)
+        if key not in self._fn_cache:
+            shape = (spec.height, spec.width,
+                     self.ms.config.unet.out_channels)
+            natural = self.ms.config.sample_size
+            if spec.mode == "txt2img":
+                @jax.jit
+                def initf(keys, sigma_start):
+                    return modes.txt2img_initial(keys, shape, sigma_start,
+                                                 natural=natural)
+            else:
+                @jax.jit
+                def initf(init_latents, keys, sigma_start):
+                    return modes.img2img_initial(init_latents, keys,
+                                                 sigma_start)
+            self._fn_cache[key] = initf
+        if spec.mode == "txt2img":
+            return self._fn_cache[key](keys, sigmas[0])
+        return self._fn_cache[key](init_latents, keys, sigmas[0])
+
     def _build_core(self, spec: StaticSpec):
         """Compile the full denoise loop for one static signature."""
         unet_cfg = self.ms.config.unet
@@ -917,28 +943,37 @@ class UnifiedPipeline:
             # every sampler incl. the dpm++ multistep family. Enables
             # progress + mid-request cancellation (replacing the
             # reference's tqdm-driven abort,
-            # gyre/pipeline/pipeline_wrapper.py:22-79). Three compiled
-            # programs serve any step count: first / middle / final
-            # segment (middle segments share one program because the
-            # step offset is a traced scalar).
+            # gyre/pipeline/pipeline_wrapper.py:22-79). Latent init runs
+            # as its own tiny program (_chunk_init) so every chunk is
+            # resume=True, and final_chunk is normalized away when it
+            # cannot affect the trace (no inpaint blend, no clip
+            # guidance): the common serving request then needs exactly
+            # ONE compiled chunk program (equal segments share it via
+            # the traced step offset) — the dominant cold-start compile.
             import dataclasses as dc
 
-            x0 = None
+            x0 = self._chunk_init(spec, keys, init_latents, sigmas)
             carry = samplers.init_carry(
                 sampler, jnp.zeros((batch, lh, lw, 4), jnp.float32))
             done = 0
             clip_losses: list[float] = []
             clip_flat = False
+            # final_chunk gates only the inpaint final blend and the
+            # clip flat-loss aux; when neither is active every value
+            # traces identically, so pin it to avoid duplicate programs
+            fc_matters = (spec.mode == "inpaint" or
+                          (spec.clip_guidance > 0 and
+                           clip_vision_params is not None))
             while done < n_steps:
                 seg = min(chunk_steps, n_steps - done)
-                spec_i = dc.replace(spec, steps=seg, resume=done > 0,
-                                    final_chunk=done + seg >= n_steps,
+                spec_i = dc.replace(spec, steps=seg, resume=True,
+                                    final_chunk=(done + seg >= n_steps
+                                                 if fc_matters else True),
                                     clip_flat=clip_flat)
                 up, ks, cu, cg, ga, il, mk, ex = core_args
                 x0, carry, aux = self.core(spec_i)(
                     up, sigmas, ks, cu, cg, ga, il, mk, ex,
-                    x_resume=x0 if x0 is not None
-                    else jnp.zeros((batch, lh, lw, 4), jnp.float32),
+                    x_resume=x0,
                     step_offset=done, carry_in=carry, **core_kwargs)
                 done += seg
                 log_latents(f"chunk:{done}", x0)

@@ -72,7 +72,10 @@ def test_interleave_short_request_not_blocked_by_long(pipe):
     dispatcher = CoalescingDispatcher(max_batch=8, gather_ms=5.0,
                                       interleave=2)
     order = []
-    long_kw = dict(KW, prompt="long", seeds=[1], steps=12, chunk_steps=2,
+    # 24 chunks: the margin must dwarf one-cycle admission jitter — with
+    # the shared chunk program, per-chunk dispatch is ~ms-scale on the
+    # tiny test model and a 6-chunk "long" request races the short one
+    long_kw = dict(KW, prompt="long", seeds=[1], steps=48, chunk_steps=2,
                    stop_event=threading.Event())
     short_kw = dict(KW, prompt="short", seeds=[2], steps=2, chunk_steps=1,
                     stop_event=threading.Event())
