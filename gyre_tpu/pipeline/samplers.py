@@ -56,6 +56,11 @@ class SamplerParams:
     # dpm++2m variants (reference schedulers/sample_dpmpp_2m.py:1-50):
     warmup_lms: bool = False    # midpoint warmup on the first step (static)
     ddim_cutoff: object = 0.0   # first-order fallback below this sigma
+    # true step count of the ramp, as a traced scalar, when `sigmas` is
+    # padded to a fixed length for compile-shape sharing (serving pads so
+    # 20/30/50-step requests run the SAME chunk program). None = derive
+    # from sigmas.shape (unpadded).
+    n_total: object = None
 
 
 # ----------------------------------------------------------------- helpers
@@ -83,7 +88,11 @@ def _expm1(x):
 
 def _gamma(sigma, n_steps, p: SamplerParams):
     """Karras churn gamma. n_steps is the FULL ramp's step count, so churn
-    strength is independent of chunked-dispatch segment boundaries."""
+    strength is independent of chunked-dispatch segment boundaries.
+    With a padded sigma ramp the shape-derived count is wrong — use the
+    traced true count instead."""
+    if p.n_total is not None:
+        n_steps = p.n_total
     tmin = jnp.asarray(p.churn_tmin, jnp.float32)
     tmax_raw = jnp.asarray(p.churn_tmax, jnp.float32)
     tmax = jnp.where(tmax_raw > 0, tmax_raw, jnp.inf)
@@ -518,7 +527,8 @@ def sample_dpm_adaptive(denoise, x, sigmas, noise_fn, p: SamplerParams,
     flow). Runs between sigmas[0] and the ramp's sigma_min. Not chunkable
     (data-dependent step count); start/steps/carry are ignored."""
     sigma_max = sigmas[0]
-    sigma_min = jnp.maximum(sigmas[-2], 1e-3)
+    sigma_min = jnp.maximum(
+        sigmas[-2] if p.n_total is None else sigmas[p.n_total - 1], 1e-3)
     t_start = -jnp.log(sigma_max)
     t_end = -jnp.log(sigma_min)
 

@@ -259,6 +259,13 @@ class UnifiedPipeline:
     VAE_TILE = 96
     VAE_TILE_OVERLAP = 16
 
+    # fixed sigma-ramp length for chunked dispatch: requests with any
+    # step count <= 151 (the REST surface clamps at 150,
+    # gyre/http/stability_rest_api.py:311-382) share the same compiled
+    # chunk programs — a 20-step and a 50-step request differ only in
+    # traced values
+    SIGMA_PAD = 152
+
     def vae_decode(self, latents: jnp.ndarray) -> jnp.ndarray:
         """scaled latents -> images [B,H,W,3] in [0,1]."""
         b, lh, lw, _ = latents.shape
@@ -355,7 +362,7 @@ class UnifiedPipeline:
                  controlnets=(), adapter_states=None, graft=None,
                  clip_vision=None, clip_target=None, vae_params=None,
                  added_u=None, added_g=None, x_resume=None,
-                 step_offset=0, carry_in=None):
+                 step_offset=0, carry_in=None, n_total=None):
             # eta/churn knobs are traced scalars: sweeping them never
             # recompiles (they only enter step arithmetic). sigmas is
             # ALWAYS the full request ramp — chunked dispatch scans a
@@ -365,9 +372,16 @@ class UnifiedPipeline:
                                        churn_tmin=churn_tmin,
                                        churn_tmax=churn_tmax,
                                        warmup_lms=spec.warmup_lms,
-                                       ddim_cutoff=ddim_cutoff)
+                                       ddim_cutoff=ddim_cutoff,
+                                       n_total=n_total)
             shape = (spec.height, spec.width, unet_cfg.out_channels)
             sigma_start = sigmas[0]
+            # final pre-zero sigma: sigmas may be padded past the true
+            # ramp for compile-shape sharing, so index by the traced
+            # count, not the array tail
+            sigma_last = jnp.maximum(
+                sigmas[-2] if n_total is None else sigmas[n_total - 1],
+                1e-3)
 
             base_unet = raw_unet
             if spec.n_controlnets or spec.has_adapter:
@@ -434,8 +448,7 @@ class UnifiedPipeline:
                     top_model, schedule,
                     prediction_type=spec.graft_prediction)
                 gwrap = modes.make_graft(keys)
-                progress = modes.log_progress(
-                    sigmas[0], jnp.maximum(sigmas[-2], 1e-3))
+                progress = modes.log_progress(sigmas[0], sigma_last)
                 dn_base = gwrap(dn_base, dn_top, progress)
 
             dn_unguided = dn_base
@@ -469,16 +482,14 @@ class UnifiedPipeline:
             final_blend = None
             if spec.mode == "inpaint":
                 wrap, final_blend = modes.make_inpaint_blend(
-                    init_latents, mask_keep, sigmas[0],
-                    jnp.maximum(sigmas[-2], 1e-3))
+                    init_latents, mask_keep, sigmas[0], sigma_last)
                 dn = wrap(dn_base)
 
             if spec.hires is not None:
                 nh, nw = spec.hires
                 hwrap, pack, unpack = modes.make_hires_fix(
                     keys, nh, nw, spec.height, spec.width)
-                progress = modes.log_progress(
-                    sigmas[0], jnp.maximum(sigmas[-2], 1e-3))
+                progress = modes.log_progress(sigmas[0], sigma_last)
                 # per-step blending (inpaint) applies at target res only
                 dn2 = hwrap(dn_base, dn, progress)
                 if spec.mode == "txt2img":
@@ -952,6 +963,20 @@ class UnifiedPipeline:
             # the traced step offset) — the dominant cold-start compile.
             import dataclasses as dc
 
+            # pad the sigma ramp to a fixed length so ANY step count
+            # runs the same compiled chunk program (sigma values are
+            # traced; only the array LENGTH is a compile signature —
+            # samplers index by the global step, so the padded tail is
+            # never read; the true count rides along as the traced
+            # n_total). k_lms is excluded: its Adams-Bashforth
+            # coefficients unroll over the array length at trace time.
+            sigmas_t = sigmas
+            n_total_t = jnp.asarray(n_steps, jnp.int32)
+            if sampler != "k_lms" and len(sigmas_np) < self.SIGMA_PAD:
+                sigmas_t = jnp.concatenate(
+                    [sigmas, jnp.zeros(self.SIGMA_PAD - len(sigmas_np),
+                                       jnp.float32)])
+
             x0 = self._chunk_init(spec, keys, init_latents, sigmas)
             carry = samplers.init_carry(
                 sampler, jnp.zeros((batch, lh, lw, 4), jnp.float32))
@@ -972,8 +997,8 @@ class UnifiedPipeline:
                                     clip_flat=clip_flat)
                 up, ks, cu, cg, ga, il, mk, ex = core_args
                 x0, carry, aux = self.core(spec_i)(
-                    up, sigmas, ks, cu, cg, ga, il, mk, ex,
-                    x_resume=x0,
+                    up, sigmas_t, ks, cu, cg, ga, il, mk, ex,
+                    x_resume=x0, n_total=n_total_t,
                     step_offset=done, carry_in=carry, **core_kwargs)
                 done += seg
                 log_latents(f"chunk:{done}", x0)
