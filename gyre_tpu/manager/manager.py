@@ -720,12 +720,16 @@ class EngineManager:
         return None
 
     def prewarm(self, engine_id: str | None = None, *, height: int = 512,
-                width: int = 512, steps: int = 50):
+                width: int = 512, steps: int = 50, buckets: bool = False):
         """Compile the default engine's serving StaticSpec ahead of the
         first request (VERDICT: 128 s first-image cold starts). Runs one
         1-sample generate at the default sampler/shape; with the
         persistent compilation cache configured this also seeds the
-        on-disk cache for future processes."""
+        on-disk cache for future processes. Sigma-ramp padding makes the
+        warmed programs serve ANY step count <= 150 at this shape.
+        buckets=True additionally warms the dispatcher's max-batch
+        coalescer bucket, so burst traffic after boot is compile-free
+        (--prewarm full)."""
         import time as _time
 
         import numpy as _np
@@ -752,8 +756,15 @@ class EngineManager:
                       guidance_scale=7.5, stop_event=ev, chunk_steps=10,
                       output_dtype="uint8")
         _np.asarray(self.dispatcher.submit(pipe, kwargs, ev).result())
-        logger.info("prewarm %s (%dx%d steps=%d %s) in %.1fs", eid,
-                    width, height, steps, sampler, _time.time() - t0)
+        sizes = [1]
+        if buckets and self.dispatcher.max_batch > 1:
+            bkw = dict(kwargs,
+                       seeds=list(range(self.dispatcher.max_batch)))
+            _np.asarray(self.dispatcher.submit(pipe, bkw, ev).result())
+            sizes.append(self.dispatcher.max_batch)
+        logger.info("prewarm %s (%dx%d steps=%d %s batch=%s) in %.1fs",
+                    eid, width, height, steps, sampler, sizes,
+                    _time.time() - t0)
 
     def safety_checker(self):
         """Trained NSFW checker from config, or None. Sources, in order: a

@@ -31,10 +31,14 @@ def decode_png(data: bytes) -> np.ndarray:
     return arr[None]
 
 
-def encode_png(img: np.ndarray, metadata: dict[str, str] | None = None) -> bytes:
+def encode_png(img: np.ndarray, metadata: dict[str, str] | None = None,
+               compress_level: int = 3) -> bytes:
     """[H,W,C] or [1,H,W,C] float 0..1 -> PNG bytes, with optional tEXt
     metadata chunks (the reference embeds full request params this way,
-    gyre/services/generate.py:1093-1135)."""
+    gyre/services/generate.py:1093-1135). compress_level 3 (vs PIL's
+    default 6) roughly halves host encode time per image for a few
+    percent larger files — PNG encode is serialized host work on the
+    serving path, a measurable slice of merged-batch latency."""
     from PIL import Image, PngImagePlugin
 
     if img.ndim == 4:
@@ -49,7 +53,7 @@ def encode_png(img: np.ndarray, metadata: dict[str, str] | None = None) -> bytes
     for k, v in (metadata or {}).items():
         info.add_text(k, v)
     buf = io.BytesIO()
-    pil.save(buf, format="PNG", pnginfo=info)
+    pil.save(buf, format="PNG", pnginfo=info, compress_level=compress_level)
     return buf.getvalue()
 
 

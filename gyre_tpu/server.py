@@ -99,9 +99,12 @@ def parse_args(argv=None):
     tpu.add_argument("--dtype", type=str, default="bfloat16",
                      choices=["bfloat16", "float32"])
     tpu.add_argument("--prewarm", type=str, default=os.environ.get(
-        "SD_PREWARM", "auto"), choices=["auto", "on", "off"],
+        "SD_PREWARM", "auto"), choices=["auto", "on", "off", "full"],
         help="compile the default engine's serving program in the "
-             "background after startup (auto = TPU only)")
+             "background after startup (auto = TPU only). 'full' also "
+             "warms the max-batch coalescer bucket, so a boot is "
+             "compile-free under burst traffic (any step count <= 150 "
+             "shares the warmed programs)")
 
     res = p.add_argument_group("resources")
     res.add_argument("--cache_path", type=str,
@@ -496,10 +499,12 @@ def main(argv=None):
             prewarm = "on" if jax.default_backend() == "tpu" else "off"
         except Exception:  # noqa: BLE001
             prewarm = "off"
-    if prewarm == "on":
+    if prewarm in ("on", "full"):
+        full = prewarm == "full"
+
         def _prewarm():
             try:
-                manager.prewarm()
+                manager.prewarm(buckets=full)
             except Exception as e:  # noqa: BLE001
                 logger.warning("prewarm failed: %s", e)
 

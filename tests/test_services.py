@@ -312,3 +312,14 @@ def test_coalesced_results_match_solo(manager, generation):
             np.testing.assert_allclose(out[i], solo[i], atol=0.035)
     finally:
         dispatcher.gather_ms = old_gather
+
+
+def test_prewarm_buckets_compile_serving_shapes(manager):
+    """--prewarm full: warms the batch-1 program AND the dispatcher's
+    max-batch coalescer bucket, so burst traffic after boot is
+    compile-free."""
+    before = len(manager.dispatcher.dispatched)
+    manager.prewarm(height=64, width=64, steps=4, buckets=True)
+    new = manager.dispatcher.dispatched[before:]
+    assert (1, 1) in new
+    assert (1, manager.dispatcher.max_batch) in new
