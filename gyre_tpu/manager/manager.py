@@ -126,8 +126,12 @@ class EngineManager:
         self._loaded = False
         from .scheduler import CoalescingDispatcher
 
-        self.dispatcher = CoalescingDispatcher(max_batch=max(batch_max * 2,
-                                                             8),
+        # max merged rows == batch_max, exactly as the flag documents:
+        # it is also the shape prewarm compiles and the pad-to-bucket
+        # fallback target, so merges never exceed a warmed program
+        # (an earlier 2x here made first merges pad to an unwarmed
+        # double-size program — a minutes-scale compile stall)
+        self.dispatcher = CoalescingDispatcher(max_batch=max(batch_max, 1),
                                                interleave=interleave,
                                                gather_ms=gather_ms)
 

@@ -19,14 +19,14 @@ merged into ONE batch:
   * Merged batches keep chunked dispatch: cancellation applies when ALL
     participating clients cancel (a shared batch can't die for one
     client), and each job's future still resolves to its own rows.
-  * Merged batches are PADDED to the next power-of-two bucket
-    (1/2/4/8, capped at max_batch): every compiled program shape is
-    drawn from a tiny fixed set, so a 3-request merge reuses the
-    batch-4 executable instead of compiling a one-off batch-3 program.
-    XLA compiles are minutes-scale on first sight; per-image step time
-    is nearly flat in batch, so the pad rows cost a fraction of one
-    batch while saving whole compiles. Pad rows are sliced off before
-    futures resolve.
+  * Merged batches are PADDED onto a bucket shape already dispatched
+    for that coalesce key (pow-of-two candidates, falling back to
+    max_batch when none fits): every compiled program shape is drawn
+    from a tiny learned set, so a 3-request merge reuses the batch-8
+    executable instead of stalling the whole queue minutes on a
+    one-off batch-3/4 compile. Per-image step time is nearly flat in
+    batch, so pad rows cost a fraction of one batch while saving whole
+    compiles. Pad rows are sliced off before futures resolve.
   * Incompatible concurrent requests INTERLEAVE at chunk granularity:
     pipelines expose `begin()` (a generator yielding between compiled
     chunk dispatches, pipeline/unified.py), and the dispatcher
@@ -126,6 +126,10 @@ class CoalescingDispatcher:
         self.coalesced_requests = 0
         self.interleaved_chunks = 0
         self.padded_rows = 0
+        # batch shapes already dispatched per coalesce key: padding
+        # targets ONLY these (else max_batch) so a merge never stalls
+        # on a never-seen shape's XLA compile
+        self._seen_buckets: set[tuple] = set()
 
     def start(self):
         if not self._started:
@@ -249,7 +253,7 @@ class CoalescingDispatcher:
                         len(seeds))
 
         if b.key is not None:
-            b.padded = self._pad_to_bucket(merged, b.rows())
+            b.padded = self._pad_to_bucket(merged, b.rows(), b.key)
             self.padded_rows += b.padded
 
         begin = getattr(pipe, "begin", None)
@@ -264,17 +268,30 @@ class CoalescingDispatcher:
         # no stepper (task pipelines / plain callables): run blocking
         self._finish(b, lambda: pipe(**merged))
 
-    def _pad_to_bucket(self, merged: dict, rows: int) -> int:
-        """Pad the merged per-row kwargs up to the next power-of-two
-        bucket (<= max_batch) by repeating the final row. Returns the
-        number of pad rows added (0 when bucketing is off, the batch is
-        already on a bucket, or rows exceed max_batch)."""
+    def _pad_to_bucket(self, merged: dict, rows: int, key=None) -> int:
+        """Pad the merged per-row kwargs up to a bucket shape by
+        repeating the final row. The target is the smallest power-of-two
+        bucket >= rows that this key has ALREADY dispatched (its program
+        is compiled); with no compiled candidate it pads straight to
+        max_batch — the one shape worth a fresh minutes-scale compile,
+        since it serves every future merge. Returns the number of pad
+        rows added (0 when bucketing is off or rows exceed max_batch)."""
         if not self.bucket or rows <= 0:
             return 0
         target = 1
         while target < rows:
             target *= 2
         target = min(target, self.max_batch)
+        # solo requests always run exact batch-1 (the light-traffic
+        # latency shape — compiled once, served forever); merges only
+        # run a shape that is compiled (seen) or is max_batch
+        if rows > 1 and target < self.max_batch and \
+                (key, target) not in self._seen_buckets:
+            candidates = [t for t in (2, 4, 8, 16, 32, 64, 128)
+                          if rows <= t <= self.max_batch and
+                          (key, t) in self._seen_buckets]
+            target = candidates[0] if candidates else self.max_batch
+        self._seen_buckets.add((key, target))
         if target <= rows:
             return 0
         pad = target - rows

@@ -41,17 +41,19 @@ class ModelSet:
 
 
 def _host_random_like(init_fn, key, seed: int, dtype):
-    """Build a params tree host-side with numpy (one device transfer per
-    leaf instead of one TPU dispatch per random op — init of SD1.5 on a
-    tunneled TPU takes minutes otherwise)."""
+    """Build a params tree host-side with numpy, convert to the target
+    dtype ON HOST (ml_dtypes), and ship the whole tree with ONE batched
+    device_put. The per-leaf jnp.asarray(..., dtype) this replaces cost
+    minutes on a tunneled TPU: ~700 synchronous round-trips plus one
+    tiny convert_element_type compile per distinct shape, and it moved
+    f32 bytes (2x the bf16 payload) over the wire."""
     shapes = jax.eval_shape(init_fn, key)
     rs = np.random.RandomState(seed & 0x7FFFFFFF)
     leaves, treedef = jax.tree.flatten(shapes)
+    host_dtype = np.dtype(dtype)  # bf16 is ml_dtypes-backed: host convert
     out = []
-    import numpy as np_mod
-
     for leaf in leaves:
-        n = int(np_mod.prod(leaf.shape)) if leaf.shape else 1
+        n = int(np.prod(leaf.shape)) if leaf.shape else 1
         if leaf.ndim == 4:      # conv HWIO: fan-in = kh*kw*cin
             fan = leaf.shape[0] * leaf.shape[1] * leaf.shape[2]
         elif leaf.ndim >= 2:    # linear (in, out) / embeddings
@@ -60,13 +62,13 @@ def _host_random_like(init_fn, key, seed: int, dtype):
             fan = 0
         if fan:
             # match torch's kaiming-uniform std: 0.577 / sqrt(fan_in)
-            arr = rs.standard_normal(n).astype(np_mod.float32) * \
+            arr = rs.standard_normal(n).astype(np.float32) * \
                 (0.577 / max(fan, 1) ** 0.5)
         else:
             # 1-D params: norm scales init to 1, biases to 0 — match by name
-            arr = np_mod.zeros(n, np_mod.float32)
-        out.append(jnp.asarray(arr.reshape(leaf.shape), dtype))
-    return jax.tree.unflatten(treedef, out)
+            arr = np.zeros(n, np.float32)
+        out.append(arr.astype(host_dtype).reshape(leaf.shape))
+    return jax.device_put(jax.tree.unflatten(treedef, out))
 
 
 import numpy as np  # noqa: E402

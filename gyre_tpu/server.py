@@ -93,6 +93,14 @@ def parse_args(argv=None):
                           "safetensors directory and exit")
 
     tpu = p.add_argument_group("tpu")
+    tpu.add_argument("--platform", type=str,
+                     default=os.environ.get("SD_PLATFORM") or None,
+                     help="force a JAX platform (e.g. 'cpu', 'tpu'). "
+                          "Wins over JAX_PLATFORMS even when a "
+                          "sitecustomize force-registers a backend — "
+                          "applied via jax.config before device init. "
+                          "Useful for CPU smoke deployments and dev "
+                          "boxes without an accelerator")
     tpu.add_argument("--tp", type=int,
                      default=int(os.environ.get("SD_TP", 1)),
                      help="tensor-parallel width of the device mesh")
@@ -374,6 +382,10 @@ def main(argv=None):
     except Exception:  # noqa: BLE001  (not main thread / platform)
         pass
     args = parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     if args.localtunnel and not args.access_token:
         import secrets
 

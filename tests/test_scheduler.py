@@ -111,9 +111,10 @@ class _FakePipe:
         return np.asarray(seeds, np.float32).reshape(-1, 1)
 
 
-def test_bucket_pads_merged_batch_to_power_of_two():
-    """A 3-row merge must dispatch at the batch-4 bucket shape (compile
-    reuse) and still resolve each future to its own unpadded rows."""
+def test_bucket_pads_merged_batch_to_compiled_shape():
+    """A 3-row merge with no previously-dispatched bucket must pad to
+    max_batch (the one shape worth compiling — never a one-off batch-4)
+    and still resolve each future to its own unpadded rows."""
     pipe = _FakePipe()
     d = CoalescingDispatcher(max_batch=8, gather_ms=150.0)
     reqs = [dict(prompt=f"p{i}", seeds=[10 + i], guidance_scale=5.0)
@@ -122,12 +123,43 @@ def test_bucket_pads_merged_batch_to_power_of_two():
     outs = [f.result(timeout=30) for f in futs]
     d.stop()
     assert len(pipe.calls) == 1
-    assert len(pipe.calls[0]["seeds"]) == 4  # 3 rows padded to bucket 4
+    assert len(pipe.calls[0]["seeds"]) == 8  # 3 rows padded to max_batch
     assert pipe.calls[0]["seeds"][-1] == 12  # pad repeats the last row
-    assert len(pipe.calls[0]["prompt"]) == 4
-    assert d.padded_rows == 1
+    assert len(pipe.calls[0]["prompt"]) == 8
+    assert d.padded_rows == 5
     for i, o in enumerate(outs):
         np.testing.assert_array_equal(o, [[10 + i]])
+
+
+def test_bucket_reuses_seen_smaller_shape():
+    """Once a batch-4 shape has been dispatched for a key, a 3-row merge
+    pads to 4 (the smallest compiled candidate), not max_batch."""
+    pipe = _FakePipe()
+    d = CoalescingDispatcher(max_batch=8, gather_ms=150.0)
+    # seed the seen set the way a compiled program would have been made
+    key = Job(pipe, dict(prompt="x", seeds=[1],
+                         guidance_scale=5.0)).coalesce_key()
+    d._seen_buckets.add((key, 4))
+    reqs = [dict(prompt=f"p{i}", seeds=[10 + i], guidance_scale=5.0)
+            for i in range(3)]
+    futs = [d.submit(pipe, r) for r in reqs]
+    [f.result(timeout=30) for f in futs]
+    d.stop()
+    assert len(pipe.calls[0]["seeds"]) == 4
+    assert d.padded_rows == 1
+
+
+def test_bucket_solo_stays_exact():
+    """A solo coalescible request must run exact batch-1 (light-traffic
+    latency shape), never padded to max_batch."""
+    pipe = _FakePipe()
+    d = CoalescingDispatcher(max_batch=8, gather_ms=5.0)
+    f = d.submit(pipe, dict(prompt="a", seeds=[3], guidance_scale=7.5))
+    out = f.result(timeout=30)
+    d.stop()
+    assert len(pipe.calls[-1]["seeds"]) == 1
+    assert d.padded_rows == 0
+    np.testing.assert_array_equal(out, [[3]])
 
 
 def test_bucket_no_pad_on_exact_bucket_or_overflow():
