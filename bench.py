@@ -160,12 +160,15 @@ def phase_pipeline():
 
 
 def _boot_server(tag: str):
+    """Boot server.py and wait for the default engine to report ready
+    (weights resident). Returns (proc, ready_seconds)."""
     cfg = os.path.join(CACHE_PATH, "engines.yaml")
     os.makedirs(CACHE_PATH, exist_ok=True)
     with open(cfg, "w") as f:
         f.write("- id: bench-sd15\n  name: bench\n  task: generate\n"
                 "  default: true\n  model: preset/sd15\n")
     log = open(os.path.join(CACHE_PATH, f"server-{tag}.log"), "w")
+    t0 = time.monotonic()
     proc = subprocess.Popen(
         [sys.executable, "server.py", "--enginecfg", cfg,
          "--grpc_port", str(GRPC_PORT), "--http_port", str(HTTP_PORT),
@@ -182,7 +185,7 @@ def _boot_server(tag: str):
                     f"http://localhost:{HTTP_PORT}/status", timeout=3) as r:
                 st = json.load(r)
             if any(e.get("ready") for e in st.get("engines", [])):
-                return proc
+                return proc, time.monotonic() - t0
         except Exception:  # noqa: BLE001
             pass
         time.sleep(2.0)
@@ -233,8 +236,8 @@ def _one_request(seed: int, timeout_s: float = 2400.0) -> float:
 
 
 def phase_serving():
-    proc = _boot_server("serve")
-    out = {}
+    proc, ready_s = _boot_server("serve")
+    out = {"serve_boot_ready_s": round(ready_s, 2)}
     try:
         # absorb the serving-program compiles (also seeds the disk cache)
         cold_first = _one_request(0)
@@ -289,7 +292,7 @@ def phase_serving():
 
 
 def phase_warmboot():
-    proc = _boot_server("warm")
+    proc, ready_s = _boot_server("warm")
     try:
         warm = _one_request(7)
     finally:
@@ -298,7 +301,8 @@ def phase_warmboot():
             proc.wait(timeout=30)
         except subprocess.TimeoutExpired:
             proc.kill()
-    print(json.dumps({"warm_first_image_s": round(warm, 2)}))
+    print(json.dumps({"warm_boot_ready_s": round(ready_s, 2),
+                      "warm_first_image_s": round(warm, 2)}))
 
 
 def _run_phase(name: str, timeout: int) -> dict:

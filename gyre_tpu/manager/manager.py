@@ -970,10 +970,18 @@ class EngineManager:
         self._adapted[key] = per
         return per
 
+    def engine_ready(self, spec) -> bool:
+        """Generate engines: ready only once their weights are resident
+        (the boot window must NOT report ready — health checks gate
+        traffic on this). Task engines (hinters/upscalers) load lazily
+        on first use: ready after startup."""
+        return spec.id in self._modelsets or \
+            (self._loaded and spec.task not in ("generate",))
+
     def status(self) -> list[dict]:
         return [
             {"id": s.id, "name": s.name, "task": s.task,
-             "ready": s.id in self._modelsets or not self._loaded,
+             "ready": self.engine_ready(s),
              "enabled": s.enabled, "default": s.default,
              "visible": s.visible}
             for s in self.specs

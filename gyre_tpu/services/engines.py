@@ -57,7 +57,9 @@ class EnginesServiceServicer:
                 name=spec.name,
                 description=spec.description,
                 owner="gyre-tpu",
-                ready=spec.enabled,
+                # same contract as /status: generate engines are ready
+                # once weights are resident; task engines load lazily
+                ready=spec.enabled and self.manager.engine_ready(spec),
                 type=epb.PICTURE,
                 task=spec.task,
             )
