@@ -23,6 +23,24 @@ def _free_port():
         return s.getsockname()[1]
 
 
+def _client_mod():
+    """Import the repo-root client.py by explicit path. A bare
+    ``import client`` depends on sys.path[0] being the repo root, which
+    an earlier test in a full serial run can break (chdir / sys.path
+    edits) — the order-dependent ModuleNotFoundError flake."""
+    import importlib.util
+    import sys
+
+    if "client" in sys.modules and hasattr(sys.modules["client"], "main"):
+        return sys.modules["client"]
+    path = os.path.join(os.path.dirname(__file__), "..", "client.py")
+    spec = importlib.util.spec_from_file_location("client", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["client"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
 @pytest.fixture(scope="module")
 def server_ports(tmp_path_factory):
     from gyre_tpu import server as server_mod
@@ -90,7 +108,7 @@ def test_grpc_list_engines(server_ports):
 
 def test_cli_client_end_to_end(server_ports, tmp_path):
     """The shipped client.py drives the live server."""
-    import client as client_mod
+    client_mod = _client_mod()
 
     grpc_port, _ = server_ports
     out = tmp_path / "gen.png"
@@ -105,7 +123,7 @@ def test_cli_client_end_to_end(server_ports, tmp_path):
 
 
 def test_cli_client_list_engines(server_ports, capsys):
-    import client as client_mod
+    client_mod = _client_mod()
 
     grpc_port, _ = server_ports
     rc = client_mod.main(["x", "--host", f"localhost:{grpc_port}",
