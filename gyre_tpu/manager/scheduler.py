@@ -100,6 +100,7 @@ class _Batch:
     jobs: list
     key: object
     deadline: float = 0.0        # gather window end (pending only)
+    first_ts: float = 0.0        # arrival of the first job (cap anchor)
     gen: object = None           # chunk stepper once started
     counts: list = field(default_factory=list)
     padded: int = 0              # pad rows appended for shape bucketing
@@ -174,14 +175,26 @@ class CoalescingDispatcher:
 
     def _enqueue(self, job: Job):
         key = job.coalesce_key()
+        now = time.monotonic()
         if key is not None:
             for b in self._pending:
                 if b.key == key and b.rows() + job.rows() <= self.max_batch:
                     b.jobs.append(job)
+                    # rolling (debounced) gather: each arrival extends
+                    # the window by gather_ms — a burst whose arrivals
+                    # stagger slightly wider than one window still merges
+                    # into a full batch. Capped at 5x so a trickle can't
+                    # hold a batch open indefinitely. A padded partial
+                    # merge costs a FULL batch's device time anyway, so
+                    # waiting a few more ms for the stragglers is
+                    # strictly better than dispatching at partial rows.
+                    b.deadline = min(now + self.gather_ms / 1000.0,
+                                     b.first_ts + 5 * self.gather_ms
+                                     / 1000.0)
                     return
         self._pending.append(_Batch(
-            jobs=[job], key=key,
-            deadline=time.monotonic() + self.gather_ms / 1000.0))
+            jobs=[job], key=key, first_ts=now,
+            deadline=now + self.gather_ms / 1000.0))
 
     def _admit(self):
         """Start pending batches while interleave slots are free. A

@@ -149,6 +149,23 @@ def test_bucket_reuses_seen_smaller_shape():
     assert d.padded_rows == 1
 
 
+def test_rolling_gather_merges_staggered_burst():
+    """Arrivals staggered slightly wider than one gather window must
+    still merge into one batch: each arrival extends the (capped)
+    deadline."""
+    pipe = _FakePipe()
+    d = CoalescingDispatcher(max_batch=8, gather_ms=150.0)
+    futs = []
+    for i in range(4):
+        futs.append(d.submit(pipe, dict(prompt=f"p{i}", seeds=[i],
+                                        guidance_scale=5.0)))
+        time.sleep(0.12)   # 120 ms < 150 ms window, rolls the deadline
+    [f.result(timeout=30) for f in futs]
+    d.stop()
+    assert len(pipe.calls) == 1
+    assert len(pipe.calls[0]["seeds"]) == 8  # 4 merged, padded to max
+
+
 def test_bucket_solo_stays_exact():
     """A solo coalescible request must run exact batch-1 (light-traffic
     latency shape), never padded to max_batch."""
