@@ -13,9 +13,9 @@ ControlNet-seg annotator uses). Rebuilt here NHWC:
     FPN lateral fusion, per-level FPN convs, concat bottleneck, 1x1
     class head; BatchNorms fold into convs at load.
 
-The ADE20K palette's most frequent classes use the canonical colors (the
-ControlNet-seg conditioning colors); the tail is a stable generated
-fill — replaceable wholesale via the engine's `palette` option.
+Renders use the full canonical 150-class ADE20K palette (the public
+mmseg table the reference's show_result uses) — replaceable wholesale
+via the engine's `palette` option.
 """
 
 from __future__ import annotations
@@ -49,12 +49,9 @@ UNIFORMER_TEST = UniFormerConfig(
     num_classes=16, fpn_channels=16)
 
 
-# canonical ADE20K colors for the frequent classes (wall, building, sky,
-# floor, tree, ceiling, road, bed, window, grass, cabinet, sidewalk,
-# person, earth, door, table, mountain, plant, curtain, chair, car,
-# water, painting, sofa, shelf, house, sea, mirror, rug); stable fill
-# beyond.
-_ADE_HEAD = [
+# full canonical ADE20K palette (the public mmseg `get_palette("ade")`
+# table the reference renders with via show_result; 150 classes)
+_ADE_PALETTE = [
     (120, 120, 120), (180, 120, 120), (6, 230, 230), (80, 50, 50),
     (4, 200, 3), (120, 120, 80), (140, 140, 140), (204, 5, 255),
     (230, 230, 230), (4, 250, 7), (224, 5, 255), (235, 255, 7),
@@ -62,14 +59,44 @@ _ADE_HEAD = [
     (143, 255, 140), (204, 255, 4), (255, 51, 7), (204, 70, 3),
     (0, 102, 200), (61, 230, 250), (255, 6, 51), (11, 102, 255),
     (255, 7, 71), (255, 9, 224), (9, 7, 230), (220, 220, 220),
-    (255, 9, 92),
+    (255, 9, 92), (112, 9, 255), (8, 255, 214), (7, 255, 224),
+    (255, 184, 6), (10, 255, 71), (255, 41, 10), (7, 255, 255),
+    (224, 255, 8), (102, 8, 255), (255, 61, 6), (255, 194, 7),
+    (255, 122, 8), (0, 255, 20), (255, 8, 41), (255, 5, 153),
+    (6, 51, 255), (235, 12, 255), (160, 150, 20), (0, 163, 255),
+    (140, 140, 140), (250, 10, 15), (20, 255, 0), (31, 255, 0),
+    (255, 31, 0), (255, 224, 0), (153, 255, 0), (0, 0, 255),
+    (255, 71, 0), (0, 235, 255), (0, 173, 255), (31, 0, 255),
+    (11, 200, 200), (255, 82, 0), (0, 255, 245), (0, 61, 255),
+    (0, 255, 112), (0, 255, 133), (255, 0, 0), (255, 163, 0),
+    (255, 102, 0), (194, 255, 0), (0, 143, 255), (51, 255, 0),
+    (0, 82, 255), (0, 255, 41), (0, 255, 173), (10, 0, 255),
+    (173, 255, 0), (0, 255, 153), (255, 92, 0), (255, 0, 255),
+    (255, 0, 245), (255, 0, 102), (255, 173, 0), (255, 0, 20),
+    (255, 184, 184), (0, 31, 255), (0, 255, 61), (0, 71, 255),
+    (255, 0, 204), (0, 255, 194), (0, 255, 82), (0, 10, 255),
+    (0, 112, 255), (51, 0, 255), (0, 194, 255), (0, 122, 255),
+    (0, 255, 163), (255, 153, 0), (0, 255, 10), (255, 112, 0),
+    (143, 255, 0), (82, 0, 255), (163, 255, 0), (255, 235, 0),
+    (8, 184, 170), (133, 0, 255), (0, 255, 92), (184, 0, 255),
+    (255, 0, 31), (0, 184, 255), (0, 214, 255), (255, 0, 112),
+    (92, 255, 0), (0, 224, 255), (112, 224, 255), (70, 184, 160),
+    (163, 0, 255), (153, 0, 255), (71, 255, 0), (255, 0, 163),
+    (255, 204, 0), (255, 0, 143), (0, 255, 235), (133, 255, 0),
+    (255, 0, 235), (245, 0, 255), (255, 0, 122), (255, 245, 0),
+    (10, 190, 212), (214, 255, 0), (0, 204, 255), (20, 0, 255),
+    (255, 255, 0), (0, 153, 255), (0, 41, 255), (0, 255, 204),
+    (41, 0, 255), (41, 255, 0), (173, 0, 255), (0, 245, 255),
+    (71, 0, 255), (122, 0, 255), (0, 255, 184), (0, 92, 255),
+    (184, 255, 0), (0, 133, 255), (255, 214, 0), (25, 194, 194),
+    (102, 255, 0), (92, 0, 255),
 ]
 
 
 def ade_palette(n: int = 150) -> np.ndarray:
-    pal = list(_ADE_HEAD)
+    pal = list(_ADE_PALETTE)
     rng = np.random.RandomState(37)
-    while len(pal) < n:
+    while len(pal) < n:   # n > 150: stable generated fill
         pal.append(tuple(int(v) for v in rng.randint(0, 255, 3)))
     return np.asarray(pal[:n], np.float32) / 255.0
 
