@@ -69,11 +69,14 @@ class Job:
     kwargs: dict
     future: Future = field(default_factory=Future)
     stop_event: object = None
+    solo: bool = False           # never coalesce (e.g. safety checks)
 
     def rows(self) -> int:
         return len(self.kwargs.get("seeds") or [1])
 
     def coalesce_key(self):
+        if self.solo:
+            return None
         kw = self.kwargs
         if kw.get("init_image") is not None or \
                 kw.get("mask_image") is not None or kw.get("hints") or \
@@ -142,9 +145,10 @@ class CoalescingDispatcher:
         self._stop.set()
         self._q.put(None)
 
-    def submit(self, pipe, kwargs, stop_event=None) -> Future:
+    def submit(self, pipe, kwargs, stop_event=None, solo: bool = False) \
+            -> Future:
         self.start()
-        job = Job(pipe, kwargs, stop_event=stop_event)
+        job = Job(pipe, kwargs, stop_event=stop_event, solo=solo)
         self._q.put(job)
         return job.future
 

@@ -341,7 +341,12 @@ class GenerationServiceServicer:
                 logger.warning("no trained safety checker configured; "
                                "nsfw flagging disabled")
             return np.zeros((images.shape[0],), bool)
-        return self._safety.check(images)
+        # device work must flow through the dispatcher's single device
+        # thread (gRPC threads never touch the TPU — same rule as the
+        # generate path)
+        return self.manager.dispatcher.submit(
+            lambda images: self._safety.check(images),
+            {"images": images}, solo=True).result()
 
     # ------------------------------------------------------------ Generate
 
