@@ -355,8 +355,12 @@ class GenerationServiceServicer:
         from . import adjustments as adj_mod
 
         def adjuster(img, chain):
-            return adj_mod.apply_image_adjustment(
-                img, chain, self.manager, request.engine_id or None)
+            # adjustment chains can invoke device models (depth/edge/seg
+            # hinters) — run them on the dispatcher's device thread
+            return self.manager.dispatcher.submit(
+                lambda: adj_mod.apply_image_adjustment(
+                    img, chain, self.manager, request.engine_id or None),
+                {}, solo=True).result()
 
         from ..utils.timing import STATS
 
@@ -415,7 +419,10 @@ class GenerationServiceServicer:
                 task = "upscaler" if spec.task in ("upscaler", "upscale") \
                     else spec.task
                 fn = self.manager.task_pipeline(task, p.engine_id)
-                out = np.asarray(fn(p.init_image))
+                # device work through the dispatcher thread, like generate
+                init = p.init_image
+                out = np.asarray(self.manager.dispatcher.submit(
+                    lambda: fn(init), {}, solo=True).result())
                 yield out[0], (p.seeds[0] if p.seeds else 0), 0, {
                     "engine": p.engine_id, "op": task}, False
                 return
