@@ -81,8 +81,11 @@ class Job:
         if kw.get("init_image") is not None or \
                 kw.get("mask_image") is not None or kw.get("hints") or \
                 kw.get("depth_map") is not None or \
-                kw.get("hires_fix") or kw.get("clip_guidance_scale"):
-            return None  # solo
+                kw.get("hires_fix") or kw.get("clip_guidance_scale") or \
+                kw.get("sampler") == "dpm_adaptive":
+            # dpm_adaptive's PI error estimate couples the whole batch
+            # (step sizes would depend on co-batched requests) — solo
+            return None
         return (id(self.pipe), kw.get("height"), kw.get("width"),
                 kw.get("steps"), kw.get("sampler"), kw.get("eta"),
                 kw.get("churn"), kw.get("churn_tmin"),

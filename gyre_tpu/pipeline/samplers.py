@@ -518,26 +518,53 @@ def sample_dpm_fast(denoise, x, sigmas, noise_fn, p: SamplerParams,
                            return_carry=return_carry)
 
 
+ADAPTIVE_MAX_STEPS = 128
+
+
 def sample_dpm_adaptive(denoise, x, sigmas, noise_fn, p: SamplerParams,
                         start=0, steps=None, carry=None, return_carry=False,
                         *, rtol: float = 0.05, atol: float = 0.0078,
-                        max_steps: int = 128):
+                        max_steps: int = ADAPTIVE_MAX_STEPS):
     """Adaptive DPM-Solver-12 with PI step-size control, as lax.while_loop
     (the reference's data-dependent python loop becomes compiled control
-    flow). Runs between sigmas[0] and the ramp's sigma_min. Not chunkable
-    (data-dependent step count); start/steps/carry are ignored."""
+    flow). Runs between sigmas[0] and the ramp's sigma_min.
+
+    Chunked dispatch: with a carry, `steps` bounds the iterations of THIS
+    segment and the solver state (t, h, step, finished) rides the carry —
+    the host loop keeps dispatching bounded segments until the carried
+    `finished` flag reads 1. The final denoise-to-x0 applies exactly once,
+    on the segment where the loop terminates (lax.cond-gated so later
+    no-op segments don't corrupt x). One-shot calls (carry=None) ignore
+    `steps` and run to completion, exactly as before. NOTE: the PI error
+    estimate is a mean over the whole tensor including batch — adaptive
+    requests therefore never coalesce (scheduler solo)."""
     sigma_max = sigmas[0]
     sigma_min = jnp.maximum(
         sigmas[-2] if p.n_total is None else sigmas[p.n_total - 1], 1e-3)
     t_start = -jnp.log(sigma_max)
     t_end = -jnp.log(sigma_min)
+    h0 = (t_end - t_start) / 16.0
 
-    def cond(carry):
-        x, t, h, step, _ = carry
-        return (t < t_end) & (step < max_steps)
+    chunked = carry is not None and len(tuple(carry)) == 5
+    if chunked:
+        has_state, t_c, h_c, step_c, finished_c = carry
+        t0v = jnp.where(has_state > 0, t_c, t_start)
+        h0v = jnp.where(has_state > 0, h_c, h0)
+        step0 = jnp.where(has_state > 0, step_c, 0)
+        finished0 = jnp.where(has_state > 0, finished_c, 0)
+        seg_cap = int(steps or max_steps)
+    else:
+        t0v, h0v = t_start, h0
+        step0 = jnp.asarray(0, jnp.int32)
+        finished0 = jnp.asarray(0, jnp.int32)
+        seg_cap = max_steps
 
-    def body(carry):
-        x, t, h, step, accept_count = carry
+    def cond(c):
+        x, t, h, step, it = c
+        return (t < t_end) & (step < max_steps) & (it < seg_cap)
+
+    def body(c):
+        x, t, h, step, it = c
         h = jnp.minimum(h, t_end - t)
         s0 = jnp.exp(-t)
         s1 = jnp.exp(-(t + h))
@@ -556,14 +583,26 @@ def sample_dpm_adaptive(denoise, x, sigmas, noise_fn, p: SamplerParams,
         x = jnp.where(accept, x_2, x)
         t = jnp.where(accept, t + h, t)
         h = h * jnp.clip(0.9 * err ** -0.5, 0.2, 5.0)
-        return (x, t, h, step + 1, accept_count + accept.astype(jnp.int32))
+        return (x, t, h, step + 1, it + 1)
 
-    h0 = (t_end - t_start) / 16.0
-    x, t, h, steps_done, _ = lax.while_loop(
-        cond, body, (x, t_start, h0, jnp.asarray(0), jnp.asarray(0)))
-    # final denoise to x0 at sigma_min
-    x = denoise(x, jnp.exp(-t_end))
-    return (x, ()) if return_carry else x
+    x, t, h, step, _ = lax.while_loop(
+        cond, body, (x, t0v, h0v,
+                     jnp.asarray(step0, jnp.int32),
+                     jnp.asarray(0, jnp.int32)))
+    done_now = ((t >= t_end) | (step >= max_steps)).astype(jnp.int32)
+    if not chunked:
+        # final denoise to x0 at sigma_min
+        x = denoise(x, jnp.exp(-t_end))
+        return (x, ()) if return_carry else x
+    # transition-gated final denoise: apply exactly once, when this
+    # segment finishes the integration (finished0==0 and done_now==1)
+    x = lax.cond((finished0 == 0) & (done_now == 1),
+                 lambda xx: denoise(xx, jnp.exp(-t_end)),
+                 lambda xx: xx, x)
+    finished = jnp.maximum(finished0, done_now)
+    new_carry = (jnp.asarray(1, jnp.int32), t, h,
+                 jnp.asarray(step, jnp.int32), finished)
+    return (x, new_carry) if return_carry else x
 
 
 # ------------------------------------------------------------------ registry
@@ -590,9 +629,10 @@ SAMPLERS = {
     "dpmsolverpp_2m": sample_dpmpp_2m,
 }
 
-# every sampler except the adaptive one supports segmented (chunked)
-# dispatch with exact state carry
-CHUNKABLE_SAMPLERS = frozenset(SAMPLERS) - {"dpm_adaptive"}
+# every sampler supports segmented (chunked) dispatch with exact state
+# carry; dpm_adaptive carries its while_loop solver state and the host
+# loop watches the carried `finished` flag
+CHUNKABLE_SAMPLERS = frozenset(SAMPLERS)
 
 # proto enum value -> sampler key (generation_pb2.DiffusionSampler)
 PROTO_SAMPLERS = {
@@ -634,6 +674,11 @@ def init_carry(name: str, x) -> tuple:
                 jnp.asarray(1.0))
     if fn is sample_lms:
         return (jnp.zeros((4,) + tuple(x.shape), x.dtype),)
+    if fn is sample_dpm_adaptive:
+        # (has_state, t, h, step, finished) — scalars; has_state=0 makes
+        # the first segment derive t/h from the ramp
+        z = jnp.asarray(0, jnp.int32)
+        return (z, jnp.asarray(0.0), jnp.asarray(0.0), z, z)
     return ()
 
 

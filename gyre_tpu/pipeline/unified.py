@@ -942,8 +942,16 @@ class UnifiedPipeline:
         if mode != "txt2img" and init_latents is not None:
             log_latents("init", init_latents)
         n_steps = len(sigmas_np) - 1
+        # dpm_adaptive chunks by bounded while_loop segments; its final
+        # chunk isn't known ahead of time, so when the final chunk
+        # MATTERS to the trace (inpaint blend / clip flat-loss) it runs
+        # unchunked instead of compiling a second tail program
+        adaptive = sampler == "dpm_adaptive"
+        adaptive_fc = adaptive and (
+            mode == "inpaint" or
+            (spec.clip_guidance > 0 and clip_vision_params is not None))
         chunkable = (chunk_steps and chunk_steps < n_steps and
-                     hires is None and
+                     hires is None and not adaptive_fc and
                      sampler in samplers.CHUNKABLE_SAMPLERS and
                      (progress_callback is not None or
                       stop_event is not None))
@@ -989,8 +997,15 @@ class UnifiedPipeline:
             fc_matters = (spec.mode == "inpaint" or
                           (spec.clip_guidance > 0 and
                            clip_vision_params is not None))
-            while done < n_steps:
-                seg = min(chunk_steps, n_steps - done)
+            # adaptive: every segment caps chunk_steps solver iterations
+            # and shares ONE compiled program; the host loop watches the
+            # carried finished flag (bounded by ADAPTIVE_MAX_STEPS)
+            loop_total = n_steps
+            if adaptive:
+                loop_total = -(-samplers.ADAPTIVE_MAX_STEPS //
+                               chunk_steps) * chunk_steps
+            while done < loop_total:
+                seg = min(chunk_steps, loop_total - done)
                 spec_i = dc.replace(spec, steps=seg, resume=True,
                                     final_chunk=(done + seg >= n_steps
                                                  if fc_matters else True),
@@ -1001,6 +1016,8 @@ class UnifiedPipeline:
                     x_resume=x0, n_total=n_total_t,
                     step_offset=done, carry_in=carry, **core_kwargs)
                 done += seg
+                if adaptive and int(np.asarray(carry[-1])):
+                    done = loop_total  # solver reached sigma_min
                 log_latents(f"chunk:{done}", x0)
                 if "clip_loss" in aux and clip_cfg_obj is not None:
                     # flat-loss schedule (reference clipguided.py:152-173),
@@ -1015,10 +1032,10 @@ class UnifiedPipeline:
                         clip_losses, clip_cfg_obj,
                         samples_per_window=window)
                 if progress_callback is not None:
-                    progress_callback(done, n_steps)
+                    progress_callback(done, loop_total)
                 if stop_event is not None and stop_event.is_set():
                     return None
-                yield done, n_steps
+                yield done, loop_total
         else:
             up, ks, cu, cg, ga, il, mk, ex = core_args
             x0, _, _ = self.core(spec)(up, sigmas, ks, cu, cg, ga, il,

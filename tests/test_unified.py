@@ -251,6 +251,32 @@ def test_chunked_dispatch_multistep_matches_single(pipe):
     assert out is None
 
 
+def test_chunked_adaptive_matches_single(pipe):
+    """dpm_adaptive chunks by bounded while_loop segments carrying the
+    solver state (t, h, step) — chunked == one-shot, the final
+    denoise-to-x0 applies exactly once, and the host loop stops at the
+    carried finished flag instead of running all bound segments."""
+    import threading
+
+    kw = dict(prompt="a boat", height=SIZE, width=SIZE, steps=6,
+              sampler="dpm_adaptive", seeds=[21], guidance_scale=7.5)
+    single = np.asarray(pipe(**kw))
+    progress = []
+    chunked = np.asarray(pipe(
+        chunk_steps=4, progress_callback=lambda d, t: progress.append(d),
+        **kw))
+    np.testing.assert_allclose(chunked, single, atol=1e-5)
+    # host loop is bounded by ADAPTIVE_MAX_STEPS/chunk_steps segments and
+    # short-circuits on the carried finished flag
+    assert 0 < len(progress) <= 32
+
+    # mid-request cancellation
+    ev = threading.Event()
+    out = pipe(chunk_steps=4, stop_event=ev,
+               progress_callback=lambda d, t: ev.set(), **kw)
+    assert out is None
+
+
 def test_chunked_churn_matches_single(pipe):
     """Churn gamma is computed against the FULL ramp, so chunk boundaries
     don't change the churn schedule (ADVICE round-1 medium finding)."""
