@@ -261,28 +261,39 @@ def _lms_coefficients(sigmas: np.ndarray, order: int = 4) -> np.ndarray:
     return coeffs
 
 
-def _lms_coefficients_traced(sigmas, order: int = 4) -> jnp.ndarray:
-    """Adams-Bashforth coefficients as traceable jnp ops (the host-side
-    numpy version can't run on traced sigma ramps inside jit)."""
-    n = sigmas.shape[0] - 1
-    rows = []
-    for i in range(n):
-        cur = min(i + 1, order)
-        ts = jnp.linspace(sigmas[i], sigmas[i + 1], 128)
-        row = []
-        for j in range(order):
-            if j >= cur:
-                row.append(jnp.asarray(0.0, sigmas.dtype))
-                continue
-            prod = jnp.ones_like(ts)
-            for k in range(cur):
-                if k == j:
-                    continue
-                prod = prod * (ts - sigmas[i - k]) / \
-                    (sigmas[i - j] - sigmas[i - k])
-            row.append(jnp.trapezoid(prod, ts))
-        rows.append(jnp.stack(row))
-    return jnp.stack(rows)
+def _lms_coefficients_traced(sigmas, order: int = 4,
+                             quad: int = 128) -> jnp.ndarray:
+    """Adams-Bashforth coefficients as traceable jnp ops, fully
+    vectorized over the ramp (no python loop over rows — a padded
+    152-length ramp traces in O(1) ops, so k_lms shares the fixed-ramp
+    chunk program like every other sampler). Rows past the true ramp
+    end get garbage/NaN coefficients but are never indexed: the scan's
+    global step indices stay < n_total."""
+    sig = sigmas.astype(jnp.float32)
+    n = sig.shape[0] - 1
+    i = jnp.arange(n)                                   # [n]
+    cur = jnp.minimum(i + 1, order)                     # [n]
+    # quadrature grid over [sigma_i, sigma_{i+1}]: [n, Q]
+    u = jnp.linspace(0.0, 1.0, quad)
+    ts = sig[:n, None] + (sig[1:n + 1] - sig[:n])[:, None] * u[None, :]
+    # Lagrange nodes sigma_{i-k}, k = 0..order-1: [n, K]
+    k = jnp.arange(order)
+    node_idx = jnp.maximum(i[:, None] - k[None, :], 0)
+    nodes = sig[node_idx]                               # [n, K]
+    # factors[n, j, k, Q] = (ts - node_k) / (node_j - node_k), masked to
+    # 1 where k == j or k >= cur (inactive node)
+    active = (k[None, :] < cur[:, None])                # [n, K]
+    denom = nodes[:, :, None] - nodes[:, None, :]       # [n, j, k]
+    offdiag = ~jnp.eye(order, dtype=bool)[None]
+    use = active[:, None, :] & offdiag                  # [n, j, k]
+    denom = jnp.where(use, denom, 1.0)
+    fac = (ts[:, None, None, :] - nodes[:, None, :, None]) / \
+        denom[..., None]                                # [n, j, k, Q]
+    fac = jnp.where(use[..., None], fac, 1.0)
+    prod = jnp.prod(fac, axis=2)                        # [n, j, Q]
+    coeffs = jnp.trapezoid(prod, ts[:, None, :], axis=-1)  # [n, j]
+    coeffs = jnp.where(active, coeffs, 0.0)             # zero j >= cur
+    return coeffs.astype(sigmas.dtype)
 
 
 def sample_lms(denoise, x, sigmas, noise_fn, p: SamplerParams,

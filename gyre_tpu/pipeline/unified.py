@@ -976,11 +976,11 @@ class UnifiedPipeline:
             # traced; only the array LENGTH is a compile signature —
             # samplers index by the global step, so the padded tail is
             # never read; the true count rides along as the traced
-            # n_total). k_lms is excluded: its Adams-Bashforth
-            # coefficients unroll over the array length at trace time.
+            # n_total). k_lms included: its Adams-Bashforth coefficients
+            # are computed vectorized over the ramp inside the trace.
             sigmas_t = sigmas
             n_total_t = jnp.asarray(n_steps, jnp.int32)
-            if sampler != "k_lms" and len(sigmas_np) < self.SIGMA_PAD:
+            if len(sigmas_np) < self.SIGMA_PAD:
                 sigmas_t = jnp.concatenate(
                     [sigmas, jnp.zeros(self.SIGMA_PAD - len(sigmas_np),
                                        jnp.float32)])
