@@ -112,6 +112,53 @@ def test_graftedpaint_settings_golden(generation):
     golden_compare("graftedpaint_settings", _render(generation, req))
 
 
+def test_hires_fix_golden(generation):
+    """Hires fix: generate at natural size, then merged high-res pass
+    (ROADMAP testing follow-up: hires was invariant-tested only)."""
+    req = _base_request()
+    req.image.height = req.image.width = SIZE * 2
+    req.image.hires.enable = True
+    req.image.hires.oos_fraction = 0.25
+    answers = list(generation.Generate(req, FakeGrpcContext()))
+    img = I.decode_png(answers[0].artifacts[0].binary)
+    assert img.shape == (1, SIZE * 2, SIZE * 2, 3)
+    golden_compare("hires_2x", np.asarray(img[0]))
+
+
+def test_grafted_inpaint_golden():
+    """Grafted inpaint through the real servicer (9ch root + 4ch top),
+    reference graftedpaint settings (ROADMAP testing follow-up: graft
+    was invariant-tested only)."""
+    import dataclasses as dc
+
+    from gyre_tpu.models import configs
+
+    configs.PRESETS["test-inpaint-golden"] = dc.replace(
+        configs.SD_TEST, unet=dc.replace(configs.UNET_TEST, in_channels=9))
+    m = EngineManager(
+        [{"id": "root-inpaint",
+          "model": {"preset": "test-inpaint-golden"},
+          "default": True, "graft": "top-style"},
+         {"id": "top-style", "model": {"preset": "test", "seed": 7}}],
+        compute_dtype=jnp.float32, batch_max=2)
+    m.load_engines()
+    gen = GenerationServiceServicer(m, batch_max=2)
+
+    req = _base_request(sampler=pb.SAMPLER_K_EULER_ANCESTRAL,
+                        churn=0.4, rho=7.0)
+    req.engine_id = "root-inpaint"
+    ip = req.prompt.add()
+    ip.parameters.init = True
+    ip.artifact.type = pb.ARTIFACT_IMAGE
+    ip.artifact.binary = I.encode_png(_init_image())
+    mask = np.zeros((1, SIZE, SIZE, 1), np.float32)
+    mask[:, SIZE // 4: 3 * SIZE // 4, SIZE // 4: 3 * SIZE // 4] = 1.0
+    mp = req.prompt.add()
+    mp.artifact.type = pb.ARTIFACT_MASK
+    mp.artifact.binary = I.encode_png(mask)
+    golden_compare("grafted_inpaint", _render(gen, req))
+
+
 @pytest.mark.parametrize("weight", [-0.5, 0.5])
 def test_prompt_weights_golden(generation, weight):
     """Weighted-fragment sweep: competing tokens at +/-0.5 (reference
