@@ -310,11 +310,18 @@ class EngineManager:
         cached = self._adapted.get(key)
         if cached is not None:
             return cached
-        with self._load_lock:
-            cached = self._adapted.get(key)
-            if cached is not None:
-                return cached
-            return self._build_adapted(key, base, engine_id, loras, tis)
+        # LoRA/TI folding is device work (W + scale*up@down matmuls): run
+        # it on the dispatcher's device thread, not the calling gRPC
+        # handler thread. Deliberately NOT under _load_lock — dispatcher
+        # jobs may take that lock (task-pipeline builds), so holding it
+        # across this wait could deadlock; a racing duplicate build is
+        # just wasted work, serialized by the dispatcher, and the cache
+        # insert is idempotent.
+        return self.dispatcher.submit(
+            lambda: (self._adapted.get(key) or
+                     self._build_adapted(key, base, engine_id, loras,
+                                         tis)),
+            {}, solo=True).result()
 
     def _build_adapted(self, key, base, engine_id, loras, tis):
 

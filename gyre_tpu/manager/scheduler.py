@@ -152,6 +152,15 @@ class CoalescingDispatcher:
             -> Future:
         self.start()
         job = Job(pipe, kwargs, stop_event=stop_event, solo=solo)
+        if threading.current_thread() is self._thread:
+            # re-entrant submit from a dispatcher-executed job: run
+            # inline (we ARE the device thread) — queueing + waiting on
+            # ourselves would self-deadlock
+            try:
+                job.future.set_result(pipe(**kwargs))
+            except Exception as e:  # noqa: BLE001
+                job.future.set_exception(e)
+            return job.future
         self._q.put(job)
         return job.future
 
@@ -351,8 +360,9 @@ class CoalescingDispatcher:
             # must stay on this thread. Handing a lazy jax array to a gRPC
             # thread makes that thread sync with the device, and the
             # experimental axon remote client wedges under cross-thread
-            # sync (first-request hang).
-            if result is not None:
+            # sync (first-request hang). Non-array results (e.g. adapted
+            # pipeline objects from solo jobs) pass through untouched.
+            if result is not None and hasattr(result, "shape"):
                 result = np.asarray(result)
         except Exception as e:  # noqa: BLE001
             self._fail(b, e)
