@@ -149,6 +149,35 @@ def test_bucket_reuses_seen_smaller_shape():
     assert d.padded_rows == 1
 
 
+def test_reentrant_submit_runs_inline():
+    """A dispatcher-executed job that submits again (e.g. an adjustment
+    chain borrowing a task pipeline) must run inline instead of
+    self-deadlocking on the single device thread."""
+    d = CoalescingDispatcher(max_batch=4, gather_ms=5.0)
+
+    def inner():
+        return np.asarray([42.0])
+
+    def outer():
+        return d.submit(inner, {}, solo=True).result(timeout=5)
+
+    out = d.submit(outer, {}, solo=True).result(timeout=30)
+    d.stop()
+    np.testing.assert_array_equal(out, [42.0])
+
+
+def test_solo_jobs_never_coalesce():
+    pipe = _FakePipe()
+    d = CoalescingDispatcher(max_batch=8, gather_ms=150.0)
+    futs = [d.submit(pipe, dict(prompt="p", seeds=[i],
+                                guidance_scale=5.0), solo=True)
+            for i in range(3)]
+    [f.result(timeout=30) for f in futs]
+    d.stop()
+    assert len(pipe.calls) == 3
+    assert all(len(c["seeds"]) == 1 for c in pipe.calls)
+
+
 def test_rolling_gather_merges_staggered_burst():
     """Arrivals staggered slightly wider than one gather window must
     still merge into one batch: each arrival extends the (capped)
