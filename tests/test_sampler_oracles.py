@@ -1,0 +1,178 @@
+"""Sampler parity against the reference's own vendored torch schedulers.
+
+The reference drives k-diffusion via vendored torch KSchedulers
+(/root/reference/gyre/pipeline/kschedulers/). Loading them needs only a
+2-line diffusers shim (ConfigMixin/register_to_config/SchedulerOutput),
+so they serve as exact step-for-step oracles — the same technique as
+tests/torch_oracles.py for model weights. Covers:
+
+  * sigma-grid parity: our build_sigmas must reproduce the scheduler's
+    fractional-timestep interpolated sigmas (reference
+    scheduling_euler_discrete.py:94-103)
+  * euler stepping parity on the oracle's own grid (churn 0)
+  * LMS Adams-Bashforth coefficients vs scipy.integrate.quad (the
+    diffusers LMSDiscreteScheduler's method)
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/gyre/pipeline/kschedulers"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not present")
+
+
+def _load_kschedulers():
+    if "ksch.scheduling_euler_discrete" in sys.modules:
+        return sys.modules["ksch.scheduling_euler_discrete"]
+    # minimal diffusers shim (test-only)
+    if "diffusers" not in sys.modules:
+        import inspect
+
+        diffusers = types.ModuleType("diffusers")
+        cu = types.ModuleType("diffusers.configuration_utils")
+
+        class ConfigMixin:
+            pass
+
+        def register_to_config(init):
+            def wrapped(self, *args, **kwargs):
+                sig = inspect.signature(init)
+                bound = sig.bind(self, *args, **kwargs)
+                bound.apply_defaults()
+                cfg = dict(bound.arguments)
+                cfg.pop("self", None)
+                self.config = types.SimpleNamespace(**cfg)
+                return init(self, *args, **kwargs)
+
+            return wrapped
+
+        cu.ConfigMixin = ConfigMixin
+        cu.register_to_config = register_to_config
+        su = types.ModuleType("diffusers.schedulers.scheduling_utils")
+
+        class SchedulerOutput:
+            def __init__(self, prev_sample):
+                self.prev_sample = prev_sample
+
+        su.SchedulerOutput = SchedulerOutput
+        schedulers_pkg = types.ModuleType("diffusers.schedulers")
+        schedulers_pkg.scheduling_utils = su
+        diffusers.configuration_utils = cu
+        diffusers.schedulers = schedulers_pkg
+        sys.modules["diffusers"] = diffusers
+        sys.modules["diffusers.configuration_utils"] = cu
+        sys.modules["diffusers.schedulers"] = schedulers_pkg
+        sys.modules["diffusers.schedulers.scheduling_utils"] = su
+
+    pkg = types.ModuleType("ksch")
+    pkg.__path__ = [REF]
+    sys.modules["ksch"] = pkg
+    for name in ("scheduling_utils", "scheduling_euler_discrete"):
+        spec = importlib.util.spec_from_file_location(
+            f"ksch.{name}", os.path.join(REF, f"{name}.py"))
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"ksch.{name}"] = mod
+        spec.loader.exec_module(mod)
+    return sys.modules["ksch.scheduling_euler_discrete"]
+
+
+S0 = 1.0
+
+
+def _ideal_x0(x, sigma):
+    return x * (S0 ** 2) / (S0 ** 2 + sigma ** 2)
+
+
+def test_sigma_grid_matches_reference_interpolation():
+    """build_sigmas must reproduce the KScheduler fractional-timestep
+    interpolation of the trained schedule's sigmas."""
+    import jax.numpy as jnp  # noqa: F401  (jax config via conftest)
+
+    from gyre_tpu.pipeline import schedule as sched
+
+    mod = _load_kschedulers()
+    for steps in (10, 20, 50):
+        oracle = mod.EulerDiscreteScheduler(beta_schedule="scaled_linear")
+        oracle.set_timesteps(steps)
+        osig = oracle.sigmas.numpy()
+        ours = sched.build_sigmas(sched.scaled_linear_schedule(), steps)
+        np.testing.assert_allclose(np.asarray(ours), osig, rtol=2e-4,
+                                   atol=2e-5,
+                                   err_msg=f"steps={steps}")
+
+
+def test_euler_stepping_matches_reference():
+    """Our k_euler on the oracle's own sigma grid must match the vendored
+    EulerDiscreteScheduler step-for-step (churn 0 => deterministic)."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from gyre_tpu.pipeline import samplers as S
+    from gyre_tpu.utils import rng
+
+    mod = _load_kschedulers()
+    steps = 12
+    oracle = mod.EulerDiscreteScheduler(beta_schedule="scaled_linear")
+    oracle.set_timesteps(steps)
+    sig = oracle.sigmas.numpy()
+
+    x0 = np.random.RandomState(3).standard_normal((2, 8, 8, 4)) \
+        .astype(np.float32)
+    x_init = x0 * sig[0]
+
+    # torch oracle loop
+    xt = torch.from_numpy(x_init.copy())
+    gen = torch.Generator()
+    for i, t in enumerate(oracle.timesteps):
+        sigma = float(oracle.sigmas[i])
+        eps = (xt - _ideal_x0(xt, sigma)) / sigma
+        xt = oracle.step(eps, t, xt, generator=gen).prev_sample
+    expected = xt.numpy()
+
+    # ours on the same grid
+    keys = rng.keys_for_seeds(np.arange(2))
+
+    def noise_fn(i, tag):
+        return rng.batched_stream_normal(keys, tag, i, (8, 8, 4))
+
+    ours = S.sample("k_euler", lambda x, s: _ideal_x0(x, s),
+                    jnp.asarray(x_init), jnp.asarray(sig), noise_fn,
+                    S.SamplerParams())
+    np.testing.assert_allclose(np.asarray(ours), expected, rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_lms_coefficients_match_scipy_quad():
+    """_lms_coefficients vs scipy.integrate.quad of the Lagrange basis —
+    the diffusers LMSDiscreteScheduler method (reference samplers.py
+    DIFFUSERS_SAMPLERS k_lms)."""
+    from scipy import integrate
+
+    from gyre_tpu.pipeline.samplers import _lms_coefficients
+
+    sig = np.geomspace(14.6, 0.03, 16).astype(np.float64)
+    sig = np.concatenate([sig, [0.0]])
+    ours = _lms_coefficients(sig)
+    order = 4
+    for i in range(len(sig) - 1):
+        cur = min(i + 1, order)
+        for j in range(cur):
+            def basis(t, i=i, j=j, cur=cur):
+                prod = 1.0
+                for k in range(cur):
+                    if k == j:
+                        continue
+                    prod *= (t - sig[i - k]) / (sig[i - j] - sig[i - k])
+                return prod
+
+            ref, _ = integrate.quad(basis, sig[i], sig[i + 1])
+            assert abs(ours[i, j] - ref) < 5e-4 + 5e-4 * abs(ref), \
+                (i, j, ours[i, j], ref)
