@@ -74,7 +74,9 @@ def _load_kschedulers():
     pkg = types.ModuleType("ksch")
     pkg.__path__ = [REF]
     sys.modules["ksch"] = pkg
-    for name in ("scheduling_utils", "scheduling_euler_discrete"):
+    for name in ("scheduling_utils", "scheduling_euler_discrete",
+                 "scheduling_heun_discrete",
+                 "scheduling_euler_ancestral_discrete"):
         spec = importlib.util.spec_from_file_location(
             f"ksch.{name}", os.path.join(REF, f"{name}.py"))
         mod = importlib.util.module_from_spec(spec)
@@ -148,6 +150,111 @@ def test_euler_stepping_matches_reference():
                     S.SamplerParams())
     np.testing.assert_allclose(np.asarray(ours), expected, rtol=2e-4,
                                atol=2e-5)
+
+
+def test_heun_stepping_matches_reference():
+    """Our k_heun vs the vendored HeunDiscreteScheduler (2nd-order
+    correction via its noise_predictor callback), churn 0."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from gyre_tpu.pipeline import samplers as S
+    from gyre_tpu.utils import rng
+
+    _load_kschedulers()
+    mod = sys.modules["ksch.scheduling_heun_discrete"]
+    steps = 10
+    oracle = mod.HeunDiscreteScheduler(beta_schedule="scaled_linear")
+    oracle.set_timesteps(steps)
+    sig = oracle.sigmas.numpy()
+
+    x_init = (np.random.RandomState(5).standard_normal((2, 8, 8, 4))
+              .astype(np.float32) * sig[0])
+
+    def predictor(sample, t):
+        sigma = float(oracle.sigmas[oracle.t_to_index(t)])
+        return (sample - _ideal_x0(sample, sigma)) / sigma
+
+    xt = torch.from_numpy(x_init.copy())
+    gen = torch.Generator()
+    for i, t in enumerate(oracle.timesteps):
+        sigma = float(oracle.sigmas[i])
+        eps = (xt - _ideal_x0(xt, sigma)) / sigma
+        xt = oracle.step(eps, t, xt, generator=gen,
+                         noise_predictor=predictor).prev_sample
+    expected = xt.numpy()
+
+    keys = rng.keys_for_seeds(np.arange(2))
+
+    def noise_fn(i, tag):
+        return rng.batched_stream_normal(keys, tag, i, (8, 8, 4))
+
+    ours = S.sample("k_heun", lambda x, s: _ideal_x0(x, s),
+                    jnp.asarray(x_init), jnp.asarray(sig), noise_fn,
+                    S.SamplerParams())
+    np.testing.assert_allclose(np.asarray(ours), expected, rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_euler_ancestral_stepping_matches_reference():
+    """Our k_euler_ancestral (eta=1) vs the vendored
+    EulerAncestralDiscreteScheduler, with the oracle's torch.randn
+    patched to replay OUR per-step rng streams — step math and noise
+    application must agree exactly."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from gyre_tpu.pipeline import samplers as S
+    from gyre_tpu.utils import rng
+
+    _load_kschedulers()
+    mod = sys.modules["ksch.scheduling_euler_ancestral_discrete"]
+    steps = 10
+    oracle = mod.EulerAncestralDiscreteScheduler(
+        beta_schedule="scaled_linear")
+    oracle.set_timesteps(steps)
+    sig = oracle.sigmas.numpy()
+
+    x_init = (np.random.RandomState(7).standard_normal((2, 8, 8, 4))
+              .astype(np.float32) * sig[0])
+
+    keys = rng.keys_for_seeds(np.arange(2))
+    noise_seq = [np.asarray(
+        rng.batched_stream_normal(keys, "anc", i, (8, 8, 4)))
+        for i in range(steps)]
+
+    calls = {"n": 0}
+    real_randn = torch.randn
+
+    def fake_randn(*args, **kwargs):
+        out = torch.from_numpy(noise_seq[calls["n"]].copy())
+        calls["n"] += 1
+        return out
+
+    xt = torch.from_numpy(x_init.copy())
+    gen = torch.Generator()
+    torch.randn = fake_randn
+    try:
+        for i, t in enumerate(oracle.timesteps):
+            sigma = float(oracle.sigmas[i])
+            eps = (xt - _ideal_x0(xt, sigma)) / sigma
+            xt = oracle.step(eps, t, xt, generator=gen).prev_sample
+    finally:
+        torch.randn = real_randn
+    expected = xt.numpy()
+    assert calls["n"] == steps
+
+    def noise_fn(i, tag):
+        assert tag == "anc"
+        return rng.batched_stream_normal(keys, tag, i, (8, 8, 4))
+
+    ours = S.sample("k_euler_ancestral", lambda x, s: _ideal_x0(x, s),
+                    jnp.asarray(x_init), jnp.asarray(sig), noise_fn,
+                    S.SamplerParams(eta=1.0))
+    np.testing.assert_allclose(np.asarray(ours), expected, rtol=2e-4,
+                               atol=3e-5)
 
 
 def test_lms_coefficients_match_scipy_quad():
