@@ -257,6 +257,60 @@ def test_euler_ancestral_stepping_matches_reference():
                                atol=3e-5)
 
 
+@pytest.mark.parametrize("warmup,cutoff", [
+    (False, 0.0), (True, 0.1), (False, 0.1), (True, 0.0)])
+def test_dpmpp_2m_matches_reference_patched_sampler(warmup, cutoff):
+    """Our k_dpmpp_2m (the default serving sampler) vs the reference's
+    own vendored patched sampler (gyre/pipeline/schedulers/
+    sample_dpmpp_2m.py) step-for-step, across the warmup_lms /
+    ddim_cutoff option grid (the reference registry default is
+    warmup_lms=True + ddim_cutoff=0.1, reference samplers.py
+    KDIFFUSION_SAMPLERS)."""
+    import importlib.util as ilu
+
+    import torch
+
+    import jax.numpy as jnp
+
+    from gyre_tpu.pipeline import samplers as S
+    from gyre_tpu.pipeline import schedule as sched
+    from gyre_tpu.utils import rng
+
+    path = ("/root/reference/gyre/pipeline/schedulers/"
+            "sample_dpmpp_2m.py")
+    if not os.path.exists(path):
+        pytest.skip("reference sampler not present")
+    spec = ilu.spec_from_file_location("ref_dpmpp_2m", path)
+    ref = ilu.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    sig = np.asarray(sched.build_sigmas(sched.scaled_linear_schedule(),
+                                        12), np.float32)
+    x_init = (np.random.RandomState(9).standard_normal((2, 8, 8, 4))
+              .astype(np.float32) * sig[0])
+
+    def torch_model(x, sigma_in, **kw):
+        sigma = float(sigma_in.reshape(-1)[0])
+        return _ideal_x0(x, sigma)
+
+    expected = ref.sample_dpmpp_2m(
+        torch_model, torch.from_numpy(x_init.copy()),
+        torch.from_numpy(sig), disable=True, warmup_lms=warmup,
+        ddim_cutoff=cutoff).numpy()
+
+    keys = rng.keys_for_seeds(np.arange(2))
+
+    def noise_fn(i, tag):
+        return rng.batched_stream_normal(keys, tag, i, (8, 8, 4))
+
+    ours = S.sample("k_dpmpp_2m", lambda x, s: _ideal_x0(x, s),
+                    jnp.asarray(x_init), jnp.asarray(sig), noise_fn,
+                    S.SamplerParams(warmup_lms=warmup,
+                                    ddim_cutoff=cutoff))
+    np.testing.assert_allclose(np.asarray(ours), expected, rtol=3e-4,
+                               atol=3e-5)
+
+
 def test_lms_coefficients_match_scipy_quad():
     """_lms_coefficients vs scipy.integrate.quad of the Lagrange basis —
     the diffusers LMSDiscreteScheduler method (reference samplers.py
