@@ -645,6 +645,13 @@ SAMPLERS = {
 # loop watches the carried `finished` flag
 CHUNKABLE_SAMPLERS = frozenset(SAMPLERS)
 
+# the reference runs these enums through diffusers-style schedulers on
+# integer "leading" timestep grids (common_scheduler + DDIMScheduler
+# etc.); everything else uses the k-diffusion interpolated linspace grid
+DIFFUSERS_GRID_SAMPLERS = frozenset({
+    "ddim", "ddpm", "dpmsolverpp_1order", "dpmsolverpp_2order",
+    "dpmsolverpp_3order"})
+
 # proto enum value -> sampler key (generation_pb2.DiffusionSampler)
 PROTO_SAMPLERS = {
     0: "ddim", 1: "ddpm", 2: "k_euler", 3: "k_euler_ancestral", 4: "k_heun",

@@ -113,7 +113,8 @@ def build_sigmas(schedule: DiffusionSchedule, steps: int, *,
                  karras_rho: float | None = None,
                  sigma_min: float | None = None,
                  sigma_max: float | None = None,
-                 uniform_lambda: bool = False) -> np.ndarray:
+                 uniform_lambda: bool = False,
+                 spacing: str = "linspace") -> np.ndarray:
     """The sigma ramp for a request: [steps*strength + 1] descending, last 0.
 
     img2img runs the tail of the full-step ramp (strength in (0,1]),
@@ -124,6 +125,14 @@ def build_sigmas(schedule: DiffusionSchedule, steps: int, *,
     ramp (k-diffusion get_sigmas_exponential semantics used by
     sample_dpm_fast's t-spacing, reference sampler registry
     gyre/pipeline/samplers.py:24-67).
+
+    spacing: "linspace" is the k-diffusion grid (fractional timesteps
+    linspace(T-1..0), interpolated sigmas). "leading" is the diffusers
+    integer grid the reference's DDIM/DDPM/DPMSolver++ enums run on:
+    timesteps = round(arange(steps) * (T // steps))[::-1] + 1
+    (reference schedulers/scheduling_ddim.py:197-203, steps_offset=1 as
+    in every SD scheduler config). karras/exponential ramps override
+    spacing, exactly as they override the grid in the reference.
     """
     smin = sigma_min if sigma_min else schedule.sigma_min
     smax = sigma_max if sigma_max else schedule.sigma_max
@@ -132,6 +141,11 @@ def build_sigmas(schedule: DiffusionSchedule, steps: int, *,
         full = np.append(np.exp(-lam), 0.0)
     elif karras_rho:
         full = karras_ramp(smin, smax, steps, karras_rho)
+    elif spacing == "leading":
+        ratio = max(1, schedule.num_train_timesteps // steps)
+        t = np.minimum((np.arange(steps) * ratio).round()[::-1] + 1,
+                       schedule.num_train_timesteps - 1).astype(np.float64)
+        full = np.append(t_to_sigma_np(schedule, t), 0.0)
     else:
         t = np.linspace(schedule.num_train_timesteps - 1, 0.0, steps)
         full = np.append(t_to_sigma_np(schedule, t), 0.0)

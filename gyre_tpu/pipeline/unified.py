@@ -659,7 +659,10 @@ class UnifiedPipeline:
             self.schedule, steps,
             strength=1.0 if full_strength else min(strength, 1.0),
             karras_rho=karras_rho, sigma_min=sigma_min, sigma_max=sigma_max,
-            uniform_lambda=(sampler == "dpm_fast"))
+            uniform_lambda=(sampler == "dpm_fast"),
+            spacing=("leading"
+                     if sampler in samplers.DIFFUSERS_GRID_SAMPLERS
+                     else "linspace"))
         sigmas = jnp.asarray(sigmas_np, jnp.float32)
 
         # prompts may be per-sample lists (request coalescing merges

@@ -311,6 +311,28 @@ def test_dpmpp_2m_matches_reference_patched_sampler(warmup, cutoff):
                                atol=3e-5)
 
 
+def test_leading_grid_matches_vendored_ddim_scheduler():
+    """build_sigmas(spacing='leading') must land on exactly the sigmas of
+    the reference DDIMScheduler's integer timesteps (scheduling_ddim.py
+    set_timesteps, steps_offset=1)."""
+    _load_kschedulers()  # shim + a scheduler exposing alphas_cumprod
+    mod = sys.modules["ksch.scheduling_euler_discrete"]
+    oracle = mod.EulerDiscreteScheduler(beta_schedule="scaled_linear")
+    acp = oracle.alphas_cumprod.numpy().astype(np.float64)
+
+    from gyre_tpu.pipeline import schedule as sched
+
+    for steps in (10, 20, 50):
+        ratio = 1000 // steps
+        t = (np.arange(steps) * ratio).round()[::-1].astype(int) + 1
+        expected = np.sqrt((1 - acp[t]) / acp[t])
+        ours = np.asarray(sched.build_sigmas(
+            sched.scaled_linear_schedule(), steps, spacing="leading"))
+        assert len(ours) == steps + 1 and ours[-1] == 0.0
+        np.testing.assert_allclose(ours[:-1], expected, rtol=2e-4,
+                                   atol=2e-5, err_msg=f"steps={steps}")
+
+
 def test_lms_coefficients_match_scipy_quad():
     """_lms_coefficients vs scipy.integrate.quad of the Lagrange basis —
     the diffusers LMSDiscreteScheduler method (reference samplers.py
