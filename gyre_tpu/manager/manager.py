@@ -773,9 +773,23 @@ class EngineManager:
                        seeds=list(range(self.dispatcher.max_batch)))
             _np.asarray(self.dispatcher.submit(pipe, bkw, ev).result())
             sizes.append(self.dispatcher.max_batch)
-        logger.info("prewarm %s (%dx%d steps=%d %s batch=%s) in %.1fs",
-                    eid, width, height, steps, sampler, sizes,
-                    _time.time() - t0)
+        # extra serving shapes the engine declares (engines.yaml
+        # `options: {prewarm_sizes: [[768, 768], ...]}`) — each is a
+        # separate compiled program shape
+        extra = (spec.options or {}).get("prewarm_sizes") or []
+        for hw in extra:
+            try:
+                h, w = int(hw[0]), int(hw[1])
+            except Exception:  # noqa: BLE001
+                logger.warning("bad prewarm_sizes entry %r", hw)
+                continue
+            if (h, w) == (height, width):
+                continue
+            skw = dict(kwargs, height=h, width=w)
+            _np.asarray(self.dispatcher.submit(pipe, skw, ev).result())
+        logger.info("prewarm %s (%dx%d steps=%d %s batch=%s extra=%s) "
+                    "in %.1fs", eid, width, height, steps, sampler, sizes,
+                    extra, _time.time() - t0)
 
     def safety_checker(self):
         """Trained NSFW checker from config, or None. Sources, in order: a

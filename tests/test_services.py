@@ -323,3 +323,18 @@ def test_prewarm_buckets_compile_serving_shapes(manager):
     new = manager.dispatcher.dispatched[before:]
     assert (1, 1) in new
     assert (1, manager.dispatcher.max_batch) in new
+
+
+def test_prewarm_extra_sizes(manager):
+    """Engine-declared prewarm_sizes warm additional serving shapes."""
+    eid = manager.default_engine_id()
+    spec = manager.spec(eid)
+    old = dict(spec.options or {})
+    spec.options = dict(old, prewarm_sizes=[[128, 64]])
+    try:
+        pipe = manager.pipeline(eid)
+        manager.prewarm(height=64, width=64, steps=4)
+        shapes = {(k.height, k.width) for k in pipe._core_cache}
+        assert (64, 64) in shapes and (128, 64) in shapes
+    finally:
+        spec.options = old
