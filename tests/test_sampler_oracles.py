@@ -333,6 +333,85 @@ def test_leading_grid_matches_vendored_ddim_scheduler():
                                    atol=2e-5, err_msg=f"steps={steps}")
 
 
+def test_ddim_trajectory_matches_vendored_scheduler():
+    """Our sigma-space DDIM vs the reference's vendored timestep-space
+    DDIMScheduler (eta 0), bridged by x_t = sqrt(acp_t) * x_sigma, on
+    the same leading grid. Compared over all but the final step: the
+    endpoint semantics intentionally differ (diffusers stops at
+    final_alpha_cumprod = acp[0], i.e. leaves sigma_min-level noise;
+    we denoise fully to x0)."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from gyre_tpu.pipeline import samplers as S
+    from gyre_tpu.pipeline import schedule as sched
+    from gyre_tpu.utils import rng
+
+    _load_kschedulers()  # installs the diffusers shim
+    # extend the shim for scheduling_ddim's extra imports
+    du = types.ModuleType("diffusers.utils")
+
+    class BaseOutput:
+        pass
+
+    du.BaseOutput = BaseOutput
+    du.deprecate = lambda *a, **k: None
+    sys.modules["diffusers.utils"] = du
+    sys.modules["diffusers"].utils = du
+    class _SchedulerMixin:  # object itself breaks the MRO as first base
+        pass
+
+    sys.modules["diffusers.schedulers.scheduling_utils"].SchedulerMixin = \
+        _SchedulerMixin
+
+    path = "/root/reference/gyre/pipeline/schedulers/scheduling_ddim.py"
+    spec = importlib.util.spec_from_file_location("ref_ddim", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    steps = 10
+    oracle = mod.DDIMScheduler(beta_start=0.00085, beta_end=0.012,
+                               beta_schedule="scaled_linear",
+                               clip_sample=False, set_alpha_to_one=False,
+                               steps_offset=1)
+    oracle.set_timesteps(steps)
+    acp = oracle.alphas_cumprod.numpy().astype(np.float64)
+    ts = oracle.timesteps.numpy()
+
+    sig = np.asarray(sched.build_sigmas(
+        sched.scaled_linear_schedule(), steps, spacing="leading"),
+        np.float32)
+    # sanity: the leading grid IS the oracle's timestep sigmas
+    np.testing.assert_allclose(
+        sig[:-1], np.sqrt((1 - acp[ts]) / acp[ts]), rtol=2e-4, atol=2e-5)
+
+    x_init = (np.random.RandomState(11).standard_normal((2, 8, 8, 4))
+              .astype(np.float32) * sig[0])
+
+    # torch oracle loop over all but the last step, in x_t space
+    xt = torch.from_numpy(x_init.copy()) * float(np.sqrt(acp[ts[0]]))
+    for i, t in enumerate(ts[:-1]):
+        a = float(acp[t])
+        x_sigma = xt / np.sqrt(a)
+        sigma = float(sig[i])
+        eps = (x_sigma - _ideal_x0(x_sigma, sigma)) / sigma
+        xt = oracle.step(eps.float(), int(t), xt, eta=0.0).prev_sample
+    t_last = int(ts[-1])
+    expected = (xt / np.sqrt(float(acp[t_last]))).numpy()
+
+    keys = rng.keys_for_seeds(np.arange(2))
+
+    def noise_fn(i, tag):
+        return rng.batched_stream_normal(keys, tag, i, (8, 8, 4))
+
+    ours = S.sample("ddim", lambda x, s: _ideal_x0(x, s),
+                    jnp.asarray(x_init), jnp.asarray(sig), noise_fn,
+                    S.SamplerParams(eta=0.0), steps=steps - 1)
+    np.testing.assert_allclose(np.asarray(ours), expected, rtol=3e-4,
+                               atol=3e-4)
+
+
 def test_lms_coefficients_match_scipy_quad():
     """_lms_coefficients vs scipy.integrate.quad of the Lagrange basis —
     the diffusers LMSDiscreteScheduler method (reference samplers.py
