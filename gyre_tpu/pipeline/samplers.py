@@ -322,6 +322,48 @@ def sample_lms(denoise, x, sigmas, noise_fn, p: SamplerParams,
     return (x, (ds,)) if return_carry else x
 
 
+def sample_plms(denoise, x, sigmas, noise_fn, p: SamplerParams,
+                start=0, steps=None, carry=None, return_carry=False, *,
+                order: int = 4):
+    """PLMS (PNDM with skip_prk_steps) in sigma space — what the
+    reference actually serves for SAMPLER_DDPM (its DIFFUSERS_SAMPLERS
+    maps the enum to PNDMScheduler(skip_prk_steps=True), reference
+    gyre/pipeline/samplers.py:25-27).
+
+    The diffusers x_t-space update with an Adams-Bashforth combination
+    eps_eff of past eps predictions reduces in sigma space to
+    x' = x - (sigma_i - sigma_{i+1}) * eps_eff (substitute
+    x0 = x - sigma*eps into x' = x0 + sigma'*eps). Order ramps 1/2/3/4
+    with available history ([1], [3,-1]/2, [23,-16,5]/12,
+    [55,-59,37,-9]/24). First step is plain order-1 (Euler) rather than
+    diffusers' duplicate-timestep corrector — one denoise call per step
+    keeps the chunk program identical in shape to every other sampler
+    (a lax.cond corrector would trace a second UNet into the compiled
+    program); the difference decays after the 4-step warmup."""
+    n, idx = _segment(sigmas, start, steps)
+
+    def body(state, i):
+        x, ets = state  # ets: [order, ...] newest-first eps history
+        sigma, sigma_next = sigmas[i], sigmas[i + 1]
+        x0 = denoise(x, sigma)
+        e = _to_d(x, sigma, x0)  # = (x - x0) / sigma = eps
+        ets = jnp.roll(ets, 1, axis=0).at[0].set(e)
+        combos = jnp.asarray(
+            [[1.0, 0.0, 0.0, 0.0],
+             [3 / 2, -1 / 2, 0.0, 0.0],
+             [23 / 12, -16 / 12, 5 / 12, 0.0],
+             [55 / 24, -59 / 24, 37 / 24, -9 / 24]], x.dtype)
+        k = jnp.minimum(i, order - 1)
+        eps_eff = jnp.tensordot(combos[k], ets, axes=1)
+        x = x - (sigma - sigma_next) * eps_eff
+        return (x, ets), None
+
+    ets0 = carry[0] if carry is not None and len(tuple(carry)) == 1 else \
+        jnp.zeros((order,) + x.shape, x.dtype)
+    (x, ets), _ = lax.scan(body, (x, ets0), idx)
+    return (x, (ets,)) if return_carry else x
+
+
 def sample_dpmpp_2s_ancestral(denoise, x, sigmas, noise_fn, p: SamplerParams,
                               start=0, steps=None, carry=None,
                               return_carry=False):
@@ -621,6 +663,7 @@ def sample_dpm_adaptive(denoise, x, sigmas, noise_fn, p: SamplerParams,
 SAMPLERS = {
     "ddim": sample_ddim,
     "ddpm": sample_ddpm,
+    "plms": sample_plms,
     "k_euler": sample_euler,
     "k_euler_ancestral": sample_euler_ancestral,
     "k_heun": sample_heun,
@@ -649,12 +692,15 @@ CHUNKABLE_SAMPLERS = frozenset(SAMPLERS)
 # integer "leading" timestep grids (common_scheduler + DDIMScheduler
 # etc.); everything else uses the k-diffusion interpolated linspace grid
 DIFFUSERS_GRID_SAMPLERS = frozenset({
-    "ddim", "ddpm", "dpmsolverpp_1order", "dpmsolverpp_2order",
+    "ddim", "ddpm", "plms", "dpmsolverpp_1order", "dpmsolverpp_2order",
     "dpmsolverpp_3order"})
 
 # proto enum value -> sampler key (generation_pb2.DiffusionSampler)
 PROTO_SAMPLERS = {
-    0: "ddim", 1: "ddpm", 2: "k_euler", 3: "k_euler_ancestral", 4: "k_heun",
+    # enum 1 (SAMPLER_DDPM): the reference serves deterministic PLMS
+    # here (PNDMScheduler skip_prk_steps); true ancestral DDPM remains
+    # available as the direct sampler name "ddpm"
+    0: "ddim", 1: "plms", 2: "k_euler", 3: "k_euler_ancestral", 4: "k_heun",
     5: "k_dpm_2", 6: "k_dpm_2_ancestral", 7: "k_lms",
     8: "k_dpmpp_2s_ancestral", 9: "k_dpmpp_2m", 10: "k_dpmpp_sde",
     500: "dpmsolverpp_1order", 501: "dpmsolverpp_2order",
@@ -690,7 +736,7 @@ def init_carry(name: str, x) -> tuple:
     if fn is sample_dpmpp_3m:
         return (jnp.zeros_like(x), jnp.zeros_like(x), jnp.asarray(1.0),
                 jnp.asarray(1.0))
-    if fn is sample_lms:
+    if fn in (sample_lms, sample_plms):
         return (jnp.zeros((4,) + tuple(x.shape), x.dtype),)
     if fn is sample_dpm_adaptive:
         # (has_state, t, h, step, finished) — scalars; has_state=0 makes

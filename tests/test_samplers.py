@@ -63,6 +63,7 @@ DETERMINISTIC = [
     ("ddim", 100, 0.05),
     ("dpmsolverpp_1order", 100, 0.05),
     ("dpm_fast", 50, 0.01),
+    ("plms", 50, 0.01),
 ]
 
 

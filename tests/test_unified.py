@@ -233,7 +233,7 @@ def test_chunked_dispatch_multistep_matches_single(pipe):
     scan bit-exactly, and mid-request cancel works (VERDICT weak #2)."""
     import threading
 
-    for sampler in ("k_dpmpp_2m", "dpmsolverpp_3order", "k_lms"):
+    for sampler in ("k_dpmpp_2m", "dpmsolverpp_3order", "k_lms", "plms"):
         kw = dict(prompt="a boat", height=SIZE, width=SIZE, steps=5,
                   sampler=sampler, seeds=[13], guidance_scale=7.5)
         single = np.asarray(pipe(**kw))
