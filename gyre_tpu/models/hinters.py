@@ -208,78 +208,6 @@ def hed_apply(params: Params, images: jax.Array) -> jax.Array:
     return jax.nn.sigmoid(fused)
 
 
-# ------------------------------------------------------------------- MLSD
-
-
-def mlsd_init(key, widths=(16, 32, 64, 64), dtype=jnp.float32) -> Params:
-    """MLSD-style line-segment detector: center heatmap + endpoint
-    displacement vectors at stride 4 (reference vendors MLSD,
-    gyre/pipeline/hinters/ ~314 LoC torch)."""
-    ks = jax.random.split(key, 2)
-    p = depth_init(ks[0], widths, dtype)
-    dec_w = widths[0] * 2
-    # head: [center, dx1, dy1, dx2, dy2]
-    p["head2"] = L.conv_init(ks[1], 3, 3, dec_w // 2, 5, dtype)
-    return p
-
-
-def mlsd_detect(params: Params, images: jax.Array, top_k: int = 64):
-    """-> (segments [B,K,4] in 0..1 coords (x1,y1,x2,y2), scores [B,K])."""
-    b, h, w, _ = images.shape
-    x = images * 2.0 - 1.0
-    feats = []
-    f = L.conv2d(params["stem"], x)
-    for enc in params["enc"]:
-        f = _res_block(enc, f, stride=2)
-        feats.append(f)
-    out = None
-    for fuse, refine, skip in zip(params["fuse"], params["refine"],
-                                  reversed(feats)):
-        lat = L.conv2d(fuse, skip)
-        out = lat if out is None else lat + L.upsample_nearest_2x(out)
-        out = _res_block(refine, out)
-    out = L.upsample_nearest_2x(out)
-    out = jax.nn.relu(L.conv2d(params["head1"], out))
-    tp = L.conv2d(params["head2"], out)                # [B,h/4,w/4,5]
-    gh, gw = tp.shape[1], tp.shape[2]
-    center = tp[..., 0].reshape(b, gh * gw)
-    disp = tp[..., 1:].reshape(b, gh * gw, 4)
-    scores, idx = jax.lax.top_k(center, top_k)          # [B,K]
-    ys = (idx // gw).astype(jnp.float32) / max(gh - 1, 1)
-    xs = (idx % gw).astype(jnp.float32) / max(gw - 1, 1)
-    d = jnp.take_along_axis(disp, idx[..., None], axis=1)  # [B,K,4]
-    d = jnp.tanh(d) * 0.25  # bounded displacements
-    segs = jnp.stack([xs + d[..., 0], ys + d[..., 1],
-                      xs + d[..., 2], ys + d[..., 3]], axis=-1)
-    return jnp.clip(segs, 0.0, 1.0), jax.nn.sigmoid(scores)
-
-
-def render_lines(segments: jax.Array, scores: jax.Array, height: int,
-                 width: int, threshold: float = 0.5,
-                 line_width: float = 0.006) -> jax.Array:
-    """[B,K,4] + [B,K] -> white-on-black line map [B,H,W,1]."""
-    b, k, _ = segments.shape
-    yy = jnp.linspace(0, 1, height)[None, None, :, None]
-    xx = jnp.linspace(0, 1, width)[None, None, None, :]
-    x1 = segments[..., 0][..., None, None]
-    y1 = segments[..., 1][..., None, None]
-    x2 = segments[..., 2][..., None, None]
-    y2 = segments[..., 3][..., None, None]
-    dx, dy = x2 - x1, y2 - y1
-    len2 = jnp.maximum(dx ** 2 + dy ** 2, 1e-8)
-    t = jnp.clip(((xx - x1) * dx + (yy - y1) * dy) / len2, 0.0, 1.0)
-    dist = jnp.sqrt((xx - x1 - t * dx) ** 2 + (yy - y1 - t * dy) ** 2)
-    ok = (scores > threshold).astype(jnp.float32)[..., None, None]
-    mask = ((dist < line_width).astype(jnp.float32) * ok).max(axis=1)
-    return mask[..., None]
-
-
-def mlsd_apply(params: Params, images: jax.Array) -> jax.Array:
-    segs, scores = mlsd_detect(params, images)
-    lines = render_lines(segs, scores, images.shape[1], images.shape[2])
-    return jnp.tile(lines, (1, 1, 1, 3))
-
-
 def load_hed_params(state: dict, dtype=None) -> Params:
     """Public HED checkpoint (caffe-style 'conv1_1.weight' ... naming used
     by the ControlNet-annotator release) -> our tree."""

@@ -67,12 +67,13 @@ def linear(p: Params, x: jax.Array) -> jax.Array:
 
 
 def conv2d(p: Params, x: jax.Array, stride: int = 1, padding="SAME",
-           feature_group_count: int = 1) -> jax.Array:
+           feature_group_count: int = 1, dilation: int = 1) -> jax.Array:
     """NHWC conv. padding: 'SAME'|'VALID'|explicit list|'CIRCULAR' tuple."""
     y = lax.conv_general_dilated(
         x, p["w"].astype(x.dtype),
         window_strides=(stride, stride),
         padding=padding,
+        rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=feature_group_count,
         preferred_element_type=x.dtype,

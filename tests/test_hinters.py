@@ -48,26 +48,6 @@ def test_hed_weight_roundtrip(rng_key):
                                atol=1e-5)
 
 
-def test_mlsd_lines(rng_key):
-    params = hinters.mlsd_init(rng_key, widths=(8, 16, 32, 32))
-    img = jax.random.uniform(rng_key, (1, 64, 64, 3))
-    segs, scores = hinters.mlsd_detect(params, img, top_k=16)
-    assert segs.shape == (1, 16, 4) and scores.shape == (1, 16)
-    out = hinters.mlsd_apply(params, img)
-    assert out.shape == (1, 64, 64, 3)
-    assert np.isfinite(np.asarray(out)).all()
-    # renderer draws where scores exceed the threshold
-    fixed_segs = jnp.asarray([[[0.2, 0.5, 0.8, 0.5]]], jnp.float32)
-    hi = hinters.render_lines(fixed_segs, jnp.asarray([[0.9]]), 32, 32,
-                              line_width=0.03)
-    lo = hinters.render_lines(fixed_segs, jnp.asarray([[0.1]]), 32, 32,
-                              line_width=0.03)
-    assert float(hi.max()) == 1.0 and float(lo.max()) == 0.0
-    # horizontal line through the middle rows, not the margins
-    assert float(hi[0, 14:18, 16].max()) == 1.0
-    assert float(hi[0, :8].max()) == 0.0
-
-
 def test_segmentation_and_background_removal(rng_key):
     seg_params = hinters.seg_init(rng_key, n_classes=8,
                                   widths=(8, 16, 32, 32))

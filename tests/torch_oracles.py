@@ -713,3 +713,147 @@ class ZoeHead(nn.Module):
         centers = F.interpolate(b_prev, probs.shape[-2:], mode="bilinear",
                                 align_corners=True)
         return torch.sum(probs * centers, dim=1, keepdim=True)
+
+
+# ------------------------------------------------------------------ M-LSD
+
+# MobileV2_MLSD_Large oracle with the published mlsd_large_512_fp32.pth
+# key names (backbone.features.N.conv..., blockNN.convN...). The
+# reference vendors this architecture unmodified
+# (gyre/pipeline/hinters/models/mbv2_mlsd_large.py); independent
+# reimplementation here so load_mlsd's BN folding, TFLite padding and
+# align_corners upsample are verified against real torch semantics.
+
+
+class MlsdConvBNReLU(nn.Sequential):
+    """Conv+BN+ReLU6 with the TFLite quirk: stride-2 convs pad (0,1,0,1)
+    explicitly then conv with padding=0. Sequential so state-dict keys
+    are positional (``...0.weight`` conv / ``...1.*`` BN) like the
+    published checkpoint."""
+
+    def __init__(self, ci, co, k=3, stride=1, groups=1):
+        pad = 0 if stride == 2 else (k - 1) // 2
+        super().__init__(
+            nn.Conv2d(ci, co, k, stride, pad, groups=groups, bias=False),
+            nn.BatchNorm2d(co))
+        self.stride = stride
+
+    def forward(self, x):
+        if self.stride == 2:
+            x = F.pad(x, (0, 1, 0, 1))
+        for m in self:
+            x = m(x)
+        return F.relu6(x)
+
+
+class MlsdInvertedResidual(nn.Module):
+    def __init__(self, ci, co, stride, expand):
+        super().__init__()
+        hidden = ci * expand
+        self.use_res = stride == 1 and ci == co
+        mods = []
+        if expand != 1:
+            mods.append(MlsdConvBNReLU(ci, hidden, k=1))
+        mods += [MlsdConvBNReLU(hidden, hidden, stride=stride,
+                                groups=hidden),
+                 nn.Conv2d(hidden, co, 1, bias=False),
+                 nn.BatchNorm2d(co)]
+        self.conv = nn.Sequential(*mods)
+
+    def forward(self, x):
+        return x + self.conv(x) if self.use_res else self.conv(x)
+
+
+class MlsdBackbone(nn.Module):
+    PLAN = ((1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+            (6, 96, 3, 1))
+    TAPS = (1, 3, 6, 10, 13)
+
+    def __init__(self):
+        super().__init__()
+        feats = [MlsdConvBNReLU(4, 32, stride=2)]
+        ci = 32
+        for t, c, n, s in self.PLAN:
+            for i in range(n):
+                feats.append(MlsdInvertedResidual(ci, c, s if i == 0
+                                                  else 1, t))
+                ci = c
+        self.features = nn.Sequential(*feats)
+
+    def forward(self, x):
+        taps = []
+        for i, f in enumerate(self.features):
+            x = f(x)
+            if i in self.TAPS:
+                taps.append(x)
+        return taps
+
+
+def _cbr1(ci, co):
+    return nn.Sequential(nn.Conv2d(ci, co, 1), nn.BatchNorm2d(co),
+                         nn.ReLU())
+
+
+def _cbr3(ci, co, pad=1, dil=1):
+    return nn.Sequential(nn.Conv2d(ci, co, 3, padding=pad, dilation=dil),
+                         nn.BatchNorm2d(co), nn.ReLU())
+
+
+class MlsdBlockA(nn.Module):
+    def __init__(self, ci1, ci2, upscale=True):
+        super().__init__()
+        self.conv1 = _cbr1(ci2, 64)
+        self.conv2 = _cbr1(ci1, 64)
+        self.upscale = upscale
+
+    def forward(self, a, b):
+        b = self.conv1(b)
+        a = self.conv2(a)
+        if self.upscale:
+            b = F.interpolate(b, scale_factor=2.0, mode="bilinear",
+                              align_corners=True)
+        return torch.cat((a, b), dim=1)
+
+
+class MlsdBlockB(nn.Module):
+    def __init__(self, ci, co):
+        super().__init__()
+        self.conv1 = _cbr3(ci, ci)
+        self.conv2 = _cbr3(ci, co)
+
+    def forward(self, x):
+        return self.conv2(self.conv1(x) + x)
+
+
+class MlsdBlockC(nn.Module):
+    def __init__(self, ci, co):
+        super().__init__()
+        self.conv1 = _cbr3(ci, ci, pad=5, dil=5)
+        self.conv2 = _cbr3(ci, ci)
+        self.conv3 = nn.Conv2d(ci, co, 1)
+
+    def forward(self, x):
+        return self.conv3(self.conv2(self.conv1(x)))
+
+
+class MlsdLarge(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.backbone = MlsdBackbone()
+        self.block15 = MlsdBlockA(64, 96, upscale=False)
+        self.block16 = MlsdBlockB(128, 64)
+        self.block17 = MlsdBlockA(32, 64)
+        self.block18 = MlsdBlockB(128, 64)
+        self.block19 = MlsdBlockA(24, 64)
+        self.block20 = MlsdBlockB(128, 64)
+        self.block21 = MlsdBlockA(16, 64)
+        self.block22 = MlsdBlockB(128, 64)
+        self.block23 = MlsdBlockC(64, 16)
+
+    def forward(self, x):
+        c1, c2, c3, c4, c5 = self.backbone(x)
+        x = self.block16(self.block15(c4, c5))
+        x = self.block18(self.block17(c3, x))
+        x = self.block20(self.block19(c2, x))
+        x = self.block22(self.block21(c1, x))
+        return self.block23(x)
