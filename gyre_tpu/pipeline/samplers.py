@@ -561,14 +561,98 @@ def sample_ddpm(denoise, x, sigmas, noise_fn, p: SamplerParams,
 
 def sample_dpm_fast(denoise, x, sigmas, noise_fn, p: SamplerParams,
                     start=0, steps=None, carry=None, return_carry=False):
-    """DPM-Solver fast: uniform-in-lambda steps solved with 2M updates.
-    The uniform-in-lambda ramp itself is built by schedule.build_sigmas
-    (uniform_lambda=True), selected per-sampler in UnifiedPipeline — this
-    function then runs multistep DPM-Solver++(2M) over it (k-diffusion
-    sample_dpm_fast semantics: fixed step count, exponential t-spacing)."""
-    return sample_dpmpp_2m(denoise, x, sigmas, noise_fn, p, start=start,
-                           steps=steps, carry=carry,
-                           return_carry=return_carry)
+    """k-diffusion ``sample_dpm_fast``: singlestep DPM-Solver over a
+    uniform grid in t = -log(sigma), split into m = floor(n/3)+1
+    segments solved at order 3 except the tail ([3]*(m-2)+[2,1] when
+    n%3==0, else [3]*(m-1)+[n%3]) — the reference maps the DPM_FAST
+    enum to exactly this solver (gyre/pipeline/samplers.py:54, invoked
+    with n=steps and the schedule's sigma_min/sigma_max,
+    gyre/pipeline/common_scheduler.py:489-495).
+
+    Scan design: one model call per scan step so chunk-granular
+    dispatch keeps working — the segment index, sub-step and order are
+    derived arithmetically from the global call index, and the
+    segment-start latent + cached eps ride the carry (x_seg, eps0,
+    eps_r1). Like k-diffusion, the result is x at sigma_min (no final
+    denoise-to-x0). p.eta applies k-diffusion's ancestral variant."""
+    n, idx = _segment(sigmas, start, steps)
+    nfe = jnp.asarray(p.n_total if p.n_total is not None else n,
+                      jnp.int32)
+    sigma_max = sigmas[0]
+    sigma_min = jnp.maximum(sigmas[nfe - 1], 1e-5)
+    t_start = -jnp.log(sigma_max)
+    t_end = -jnp.log(sigma_min)
+    m = nfe // 3 + 1
+    r = nfe % 3
+    n3 = jnp.where(r == 0, m - 2, m - 1)   # number of order-3 segments
+
+    def t_of(k):
+        return t_start + (t_end - t_start) * k.astype(jnp.float32) \
+            / m.astype(jnp.float32)
+
+    if carry is None:
+        carry = (x, jnp.zeros_like(x), jnp.zeros_like(x))
+
+    def body(state, i):
+        x, x_seg, eps0, eps_r1 = state
+        in3 = i < 3 * n3
+        tail = i - 3 * n3
+        seg = jnp.where(in3, i // 3,
+                        jnp.where(r > 0, n3,
+                                  jnp.where(tail < 2, n3, n3 + 1)))
+        sub = jnp.where(in3, i % 3,
+                        jnp.where(r > 0, tail,
+                                  jnp.where(tail < 2, tail, 0)))
+        order = jnp.where(in3, 3,
+                          jnp.where(r > 0, r,
+                                    jnp.where(tail < 2, 2, 1)))
+        t, t_next = t_of(seg), t_of(seg + 1)
+        # ancestral shrink (k-diffusion dpm_solver_fast eta branch)
+        sd, su = _ancestral_steps(jnp.exp(-t), jnp.exp(-t_next), p.eta)
+        t_next_ = jnp.minimum(t_end, -jnp.log(jnp.maximum(sd, 1e-10)))
+        su = jnp.sqrt(jnp.maximum(
+            jnp.exp(-2.0 * t_next) - jnp.exp(-2.0 * t_next_), 0.0))
+        h = t_next_ - t
+        r1 = jnp.where(order == 3, 1.0 / 3.0, 0.5)
+        r2 = 2.0 / 3.0
+        s1 = t + r1 * h
+        s2 = t + r2 * h
+        # the single model call of this scan step, at this sub-step's
+        # sigma point (x_seg at t / u1 at s1 / u2 at s2)
+        sigma_pt = jnp.exp(-jnp.where(sub == 0, t,
+                                      jnp.where(sub == 1, s1, s2)))
+        x0 = denoise(x, sigma_pt)
+        eps = (x - x0) / sigma_pt
+        # sub==0 bookkeeping: this x is the segment start
+        x_seg_n = jnp.where(sub == 0, x, x_seg)
+        eps0_n = jnp.where(sub == 0, eps, eps0)
+        eps_r1_n = jnp.where(sub == 1, eps, eps_r1)
+        st_n = jnp.exp(-t_next_)
+        # candidate updates (k-diffusion dpm_solver_{1,2,3}_step)
+        final1 = x_seg_n - st_n * _expm1(h) * eps0_n
+        u1 = x_seg_n - jnp.exp(-s1) * _expm1(r1 * h) * eps0_n
+        final2 = final1 - st_n / (2.0 * r1) * _expm1(h) \
+            * (eps_r1_n - eps0_n)
+        u2 = x_seg_n - jnp.exp(-s2) * _expm1(r2 * h) * eps0_n \
+            - jnp.exp(-s2) * (r2 / r1) * (_expm1(r2 * h) / (r2 * h)
+                                          - 1.0) * (eps_r1_n - eps0_n)
+        final3 = final1 - st_n / r2 * (_expm1(h) / h - 1.0) \
+            * (eps - eps0_n)
+        x_new = jnp.where(
+            sub == 0,
+            jnp.where(order == 1, final1, u1),
+            jnp.where(sub == 1,
+                      jnp.where(order == 2, final2, u2),
+                      final3))
+        # ancestral noise once per segment, on its completing call
+        done = sub == order - 1
+        x_new = jnp.where(done & (su > 0),
+                          x_new + noise_fn(i, "anc") * su, x_new)
+        return (x_new, x_seg_n, eps0_n, eps_r1_n), None
+
+    (x, x_seg, eps0, eps_r1), _ = lax.scan(
+        body, (x, carry[0], carry[1], carry[2]), idx)
+    return (x, (x_seg, eps0, eps_r1)) if return_carry else x
 
 
 ADAPTIVE_MAX_STEPS = 128
@@ -731,7 +815,11 @@ def init_carry(name: str, x) -> tuple:
     """Zero-initialized cross-step state for `name`, shaped like latents x
     (host-side helper for chunked dispatch's first segment)."""
     fn = SAMPLERS[name]
-    if fn in (sample_dpmpp_2m, sample_dpm_fast):
+    if fn is sample_dpm_fast:
+        # (x_seg, eps0, eps_r1): segment-start latent + cached eps of
+        # the in-flight singlestep solve
+        return (x, jnp.zeros_like(x), jnp.zeros_like(x))
+    if fn is sample_dpmpp_2m:
         return (jnp.zeros_like(x),)
     if fn is sample_dpmpp_3m:
         return (jnp.zeros_like(x), jnp.zeros_like(x), jnp.asarray(1.0),

@@ -438,3 +438,122 @@ def test_lms_coefficients_match_scipy_quad():
             ref, _ = integrate.quad(basis, sig[i], sig[i + 1])
             assert abs(ours[i, j] - ref) < 5e-4 + 5e-4 * abs(ref), \
                 (i, j, ours[i, j], ref)
+
+
+def _dpm_fast_oracle(x, sigma_min, sigma_max, n):
+    """Independent numpy reimplementation of k-diffusion's
+    dpm_solver_fast (eta=0): m = floor(n/3)+1 uniform-in-t segments,
+    orders [3]*(m-2)+[2,1] when n%3==0 else [3]*(m-1)+[n%3], solved
+    with the published singlestep DPM-Solver updates in t=-log(sigma)
+    space. The reference maps SAMPLER_DPM_FAST to exactly this solver
+    (gyre/pipeline/samplers.py:54)."""
+    t_start, t_end = -np.log(sigma_max), -np.log(sigma_min)
+    m = n // 3 + 1
+    ts = np.linspace(t_start, t_end, m + 1)
+    orders = [3] * (m - 2) + [2, 1] if n % 3 == 0 \
+        else [3] * (m - 1) + [n % 3]
+
+    def sig(t):
+        return np.exp(-t)
+
+    def eps_of(x, t):
+        s = sig(t)
+        return (x - np.asarray(_ideal_x0(x, s))) / s
+
+    for i, order in enumerate(orders):
+        t, tn = ts[i], ts[i + 1]
+        h = tn - t
+        eps = eps_of(x, t)
+        if order == 1:
+            x = x - sig(tn) * np.expm1(h) * eps
+        elif order == 2:
+            r1 = 0.5
+            s1 = t + r1 * h
+            u1 = x - sig(s1) * np.expm1(r1 * h) * eps
+            eps_r1 = eps_of(u1, s1)
+            x = x - sig(tn) * np.expm1(h) * eps \
+                - sig(tn) / (2 * r1) * np.expm1(h) * (eps_r1 - eps)
+        else:
+            r1, r2 = 1 / 3, 2 / 3
+            s1, s2 = t + r1 * h, t + r2 * h
+            u1 = x - sig(s1) * np.expm1(r1 * h) * eps
+            eps_r1 = eps_of(u1, s1)
+            u2 = x - sig(s2) * np.expm1(r2 * h) * eps \
+                - sig(s2) * (r2 / r1) * (np.expm1(r2 * h) / (r2 * h) - 1) \
+                * (eps_r1 - eps)
+            eps_r2 = eps_of(u2, s2)
+            x = x - sig(tn) * np.expm1(h) * eps \
+                - sig(tn) / r2 * (np.expm1(h) / h - 1) * (eps_r2 - eps)
+    return x
+
+
+@pytest.mark.parametrize("steps", [4, 6, 7, 9, 20])
+def test_dpm_fast_matches_kdiffusion_algorithm(steps):
+    """sample_dpm_fast must reproduce k-diffusion's dpm_solver_fast
+    step-for-step (order-3/2/1 segment sequence), including the
+    order-schedule edge cases (n%3 == 0, 1, 2)."""
+    import jax.numpy as jnp
+
+    from gyre_tpu.pipeline import samplers as S
+    from gyre_tpu.utils import rng
+
+    sigma_max, sigma_min = 14.6, 0.03
+    x_init = (np.random.RandomState(5)
+              .standard_normal((2, 8, 8, 4)).astype(np.float32)
+              * sigma_max)
+    expected = _dpm_fast_oracle(x_init.astype(np.float64), sigma_min,
+                                sigma_max, steps)
+
+    # our sampler reads only sigmas[0] and sigmas[n-1] (+ terminal 0)
+    ts = np.linspace(-np.log(sigma_max), -np.log(sigma_min), steps)
+    sig = np.concatenate([np.exp(-ts), [0.0]]).astype(np.float32)
+    keys = rng.keys_for_seeds(np.arange(2))
+
+    def noise_fn(i, tag):
+        return rng.batched_stream_normal(keys, tag, i, (8, 8, 4))
+
+    # k-diffusion's sample_dpm_fast defaults eta=0; the oracle
+    # implements exactly that branch
+    ours = S.sample("dpm_fast", lambda x, s: _ideal_x0(x, s),
+                    jnp.asarray(x_init), jnp.asarray(sig), noise_fn,
+                    S.SamplerParams(eta=0.0))
+    # f32 sampler vs f64 oracle: longer order-3 chains accumulate a few
+    # 1e-4-scale ulps (steps=9 worst case); algorithmic errors are 1e0+
+    np.testing.assert_allclose(np.asarray(ours), expected, rtol=2e-3,
+                               atol=1e-3)
+
+
+def test_dpm_fast_chunked_equals_oneshot():
+    """Chunk boundaries mid-segment must not change the result: the
+    in-flight singlestep state rides the carry."""
+    import jax.numpy as jnp
+
+    from gyre_tpu.pipeline import samplers as S
+    from gyre_tpu.utils import rng
+
+    steps = 10
+    sigma_max, sigma_min = 14.6, 0.03
+    ts = np.linspace(-np.log(sigma_max), -np.log(sigma_min), steps)
+    sig = jnp.asarray(np.concatenate([np.exp(-ts), [0.0]])
+                      .astype(np.float32))
+    x_init = jnp.asarray(np.random.RandomState(6)
+                         .standard_normal((2, 8, 8, 4))
+                         .astype(np.float32) * sigma_max)
+    keys = rng.keys_for_seeds(np.arange(2))
+
+    def noise_fn(i, tag):
+        return rng.batched_stream_normal(keys, tag, i, (8, 8, 4))
+
+    den = lambda x, s: _ideal_x0(x, s)  # noqa: E731
+    one = S.sample("dpm_fast", den, x_init, sig, noise_fn,
+                   S.SamplerParams())
+    x = x_init
+    carry = S.init_carry("dpm_fast", x)
+    done = 0
+    for seg in (3, 4, 3):  # boundaries at 3 and 7: mid-segment splits
+        x, carry = S.sample("dpm_fast", den, x, sig, noise_fn,
+                            S.SamplerParams(), start=done, steps=seg,
+                            carry=carry, return_carry=True)
+        done += seg
+    np.testing.assert_allclose(np.asarray(x), np.asarray(one),
+                               rtol=1e-5, atol=1e-5)
