@@ -116,6 +116,11 @@ class EngineManager:
         self._modelsets: dict[str, ModelSet] = {}
         self._pipelines: dict[str, UnifiedPipeline] = {}
         self._adapted: dict = {}
+        # per-engine weight provenance for /status: "real" (checkpoint
+        # loaded), "random" (random-init fallback — LOUD so no engine
+        # silently serves untrained weights), "pending" (lazy, not yet
+        # resolved). VERDICT r3 #4.
+        self._weights_kind: dict[str, str] = {}
         # guards lazy model/pipeline construction only. Requests are NOT
         # serialized here: the CoalescingDispatcher's single thread is the
         # only serialization point for device work, so concurrent gRPC
@@ -160,13 +165,19 @@ class EngineManager:
             from .mixing import mix_modelsets
 
             parts = []
+            src_ids = []
             for entry in model["mix"]:
                 if isinstance(entry, str):
                     entry = {"source": entry, "weight": 1.0}
                 src = entry["source"]
-                sub = self.modelset(src.lstrip("@")) \
-                    if isinstance(src, str) else None
+                sub = None
+                if isinstance(src, str):
+                    src_ids.append(src.lstrip("@"))
+                    sub = self.modelset(src_ids[-1])
                 parts.append((sub, float(entry.get("weight", 1.0))))
+            self._weights_kind[spec.id] = "real" if src_ids and all(
+                self._weights_kind.get(i) == "real" for i in src_ids) \
+                else "random"
             return mix_modelsets(parts,
                                  model.get("algorithm", "weighted_sum"),
                                  engine_id=spec.id)
@@ -199,9 +210,11 @@ class EngineManager:
                 path, subfolder=sub, allow_patterns=pats)
             ms = load_modelset(resolved, cfg, dtype=self.compute_dtype,
                                engine_id=spec.id)
+            self._weights_kind[spec.id] = "real"
         else:
             ms = random_modelset(cfg, seed=seed, dtype=self.compute_dtype,
                                  engine_id=spec.id)
+            self._weights_kind[spec.id] = "random"
 
         # '@engine-id' submodel references: share another engine's parts
         # (reference @model_id references with memoization,
@@ -394,12 +407,16 @@ class EngineManager:
         model = spec.model
         if not isinstance(model, str) or not model or \
                 model.startswith("preset/"):
+            self._weights_kind[spec.id] = "random"
             return None
         try:
-            return self.load_model_entry(model)[0]
+            state = self.load_model_entry(model)[0]
+            self._weights_kind[spec.id] = "real"
+            return state
         except Exception as e:  # noqa: BLE001
             logger.warning("engine %s: weights %s unavailable (%s); "
                            "random-init", spec.id, model, e)
+            self._weights_kind[spec.id] = "random"
             return None
 
     def _build_task_pipeline(self, spec, key):
@@ -665,17 +682,28 @@ class EngineManager:
             # bottom-up pass
             if str(spec.params.get("refine", "topdown")) != "none":
                 return pose_mod.make_topdown(params, body=body)
-            fn = _jax.jit(pose_mod.estimate_and_render_body if body
-                          else pose_mod.estimate_and_render_multi)
+            est = pose_mod.estimate_and_render_body if body \
+                else pose_mod.estimate_and_render_multi
+            fn = _jax.jit(est, static_argnames=("style",))
 
-            def run(img):
-                return fn(params, jnp.asarray(img, jnp.float32))
+            def run(img, style: str = "openpose"):
+                return fn(params, jnp.asarray(img, jnp.float32),
+                          style=style)
 
             return run
         if kind in ("mlsd", "lines"):
-            params = hinters.mlsd_init(_jax.random.PRNGKey(seed),
+            # MobileV2_MLSD_Large (reference vendors the torch model,
+            # gyre/pipeline/hinters/models/mbv2_mlsd_large.py, serving
+            # mlsd_large_512_fp32.pth)
+            from ..models import mlsd as mlsd_mod
+
+            state = self.spec_state_dict(spec)
+            if state is not None:
+                params = mlsd_mod.load_mlsd(state, dtype=jnp.float32)
+            else:
+                params = mlsd_mod.init(_jax.random.PRNGKey(seed),
                                        dtype=jnp.float32)
-            fn = _jax.jit(hinters.mlsd_apply)
+            fn = _jax.jit(mlsd_mod.apply)
             return lambda img: fn(params, jnp.asarray(img, jnp.float32))
         if kind == "dexined":
             # dense-inception edge detector (reference
@@ -1004,7 +1032,10 @@ class EngineManager:
             {"id": s.id, "name": s.name, "task": s.task,
              "ready": self.engine_ready(s),
              "enabled": s.enabled, "default": s.default,
-             "visible": s.visible}
+             "visible": s.visible,
+             # "real" = checkpoint loaded, "random" = random-init
+             # fallback (loud), "pending" = lazy engine not yet built
+             "weights": self._weights_kind.get(s.id, "pending")}
             for s in self.specs
         ]
 

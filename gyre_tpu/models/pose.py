@@ -41,6 +41,29 @@ LIMB_COLORS = np.asarray([
     (255, 0, 170)], np.float32) / 255.0
 
 
+# ----- keypose render style (T2I-Adapter keypose hint surface; reference
+# render_keypose, gyre/pipeline/hinters/mmpose_pipeline.py:15-135: COCO-17
+# mmpose joint order, fixed 3-color palette, thin cv2 circles+lines on
+# black — visually distinct from the openpose limb render above).
+# Index map from our openpose-18 joint order into mmpose COCO-17:
+# nose, l/r eye, l/r ear, l/r shoulder, l/r elbow, l/r wrist, l/r hip,
+# l/r knee, l/r ankle.
+KEYPOSE_FROM_OPENPOSE = np.asarray(
+    [0, 15, 14, 17, 16, 5, 2, 6, 3, 7, 4, 11, 8, 12, 9, 13, 10], np.int32)
+KEYPOSE_SKELETON = [
+    (15, 13), (13, 11), (16, 14), (14, 12), (11, 12), (5, 11), (6, 12),
+    (5, 6), (5, 7), (6, 8), (7, 9), (8, 10), (1, 2), (0, 1), (0, 2),
+    (1, 3), (2, 4), (3, 5), (4, 6)]
+_KP_BLUE, _KP_GREEN, _KP_ORANGE = ((51, 153, 255), (0, 255, 0),
+                                   (255, 128, 0))
+KEYPOSE_KPT_COLORS = np.asarray(
+    [_KP_BLUE] * 5 + [_KP_GREEN, _KP_ORANGE] * 6, np.float32) / 255.0
+KEYPOSE_LINK_COLORS = np.asarray(
+    [_KP_GREEN, _KP_GREEN, _KP_ORANGE, _KP_ORANGE] + [_KP_BLUE] * 4
+    + [_KP_GREEN, _KP_ORANGE, _KP_GREEN, _KP_ORANGE] + [_KP_BLUE] * 7,
+    np.float32) / 255.0
+
+
 def init(key, width: int = 64, n_blocks: int = 6,
          dtype=jnp.float32) -> Params:
     ks = iter(jax.random.split(key, n_blocks * 2 + 8))
@@ -150,11 +173,74 @@ def render_openpose(keypoints: jax.Array, conf: jax.Array, height: int,
     return canvas
 
 
-def estimate_and_render(params: Params, images: jax.Array) -> jax.Array:
+def render_keypose(keypoints: jax.Array, conf: jax.Array, height: int,
+                   width: int, threshold: float = 0.4,
+                   radius_px: float = 4.0,
+                   thickness_px: float = 2.0) -> jax.Array:
+    """T2I-Adapter keypose hint render: keypoints [B,K,2] (0..1,
+    openpose-18 order), conf [B,K] -> canvas [B,H,W,3].
+
+    Reference render_keypose (mmpose_pipeline.py:91-135) draws cv2
+    circles (radius 2..4) at joints and 2px lines for the COCO-17
+    skeleton in the fixed blue/green/orange palette on black; this is
+    the distance-field equivalent, batched on device. Distinct from the
+    openpose render (thick limbs, 17-color wheel, no joint dots)."""
+    kp = keypoints[:, KEYPOSE_FROM_OPENPOSE]              # [B,17,2]
+    cf = conf[:, KEYPOSE_FROM_OPENPOSE]                   # [B,17]
+    b = kp.shape[0]
+    yy = jnp.linspace(0, 1, height)[None, :, None]
+    xx = jnp.linspace(0, 1, width)[None, None, :]
+    scale = float(max(height, width))
+    r = radius_px / scale
+    lw = 0.5 * thickness_px / scale
+    canvas = jnp.zeros((b, height, width, 3), jnp.float32)
+    link_c = jnp.asarray(KEYPOSE_LINK_COLORS)
+    for li, (a, bk) in enumerate(KEYPOSE_SKELETON):
+        pa, pb = kp[:, a], kp[:, bk]
+        ok = ((cf[:, a] > threshold) &
+              (cf[:, bk] > threshold)).astype(jnp.float32)
+        dx = pb[:, 0] - pa[:, 0]
+        dy = pb[:, 1] - pa[:, 1]
+        len2 = jnp.maximum(dx ** 2 + dy ** 2, 1e-8)
+        px = xx - pa[:, 0][:, None, None]
+        py = yy - pa[:, 1][:, None, None]
+        t = jnp.clip((px * dx[:, None, None] + py * dy[:, None, None]) /
+                     len2[:, None, None], 0.0, 1.0)
+        dist2 = (px - t * dx[:, None, None]) ** 2 + \
+            (py - t * dy[:, None, None]) ** 2
+        mask = (dist2 < lw * lw).astype(jnp.float32) * ok[:, None, None]
+        canvas = jnp.maximum(canvas, mask[..., None] * link_c[li])
+    kpt_c = jnp.asarray(KEYPOSE_KPT_COLORS)
+    for j in range(kp.shape[1]):
+        ok = (cf[:, j] > threshold).astype(jnp.float32)
+        d2 = (xx - kp[:, j, 0][:, None, None]) ** 2 + \
+            (yy - kp[:, j, 1][:, None, None]) ** 2
+        mask = (d2 < r * r).astype(jnp.float32) * ok[:, None, None]
+        # joints draw over links, as cv2.circle after cv2.line would
+        canvas = jnp.where(mask[..., None] > 0, kpt_c[j], canvas)
+    return canvas
+
+
+def render_pose(keypoints, conf, height, width, style: str = "openpose",
+                threshold: float | None = None):
+    """Style dispatch: openpose (thick 17-color limbs) or keypose
+    (T2I-Adapter dots+thin lines)."""
+    if style == "keypose":
+        return render_keypose(keypoints, conf, height, width,
+                              **({} if threshold is None
+                                 else {"threshold": threshold}))
+    return render_openpose(keypoints, conf, height, width,
+                           **({} if threshold is None
+                              else {"threshold": threshold}))
+
+
+def estimate_and_render(params: Params, images: jax.Array,
+                        style: str = "openpose") -> jax.Array:
     """Full hinter pipeline: image -> openpose skeleton map."""
     maps = heatmaps(params, images)
     kps, conf = decode_keypoints(maps)
-    return render_openpose(kps, conf, images.shape[1], images.shape[2])
+    return render_pose(kps, conf, images.shape[1], images.shape[2],
+                       style=style)
 
 
 # ------------------------------------------------------- multi-person
@@ -276,15 +362,18 @@ def render_limbs(pa: jax.Array, pb: jax.Array, ok: jax.Array,
 
 
 def estimate_and_render_multi(params: Params, images: jax.Array,
-                              max_people: int = 8) -> jax.Array:
+                              max_people: int = 8,
+                              style: str = "openpose") -> jax.Array:
     """Multi-person hinter pipeline: image -> openpose skeleton map with
     every PAF-validated limb drawn (person grouping is unnecessary for
     hint images). Falls back to single-person argmax when the param tree
-    has no PAF head."""
+    has no PAF head. keypose style renders from the single-person decode
+    (per-person joint sets; the topdown path is the full-quality route)."""
     maps, pafs = heatmaps_and_pafs(params, images)
-    if pafs is None:
+    if pafs is None or style == "keypose":
         kps, conf = decode_keypoints(maps)
-        return render_openpose(kps, conf, images.shape[1], images.shape[2])
+        return render_pose(kps, conf, images.shape[1], images.shape[2],
+                           style=style)
     xy, conf = top_peaks(maps, max_people)
 
     def one(xy_b, conf_b, paf_b):
@@ -416,12 +505,17 @@ def body_apply(params: Params, images: jax.Array):
 
 
 def estimate_and_render_body(params: Params, images: jax.Array,
-                             max_people: int = 8) -> jax.Array:
+                             max_people: int = 8,
+                             style: str = "openpose") -> jax.Array:
     """Checkpoint-weight pose hinter: openpose body CPM -> multi-person
     PAF matching -> skeleton canvas. Heatmap values are already in [0,1]
     (MSE-trained Gaussian peaks), so confidences are used raw with the
     published thresholds (thre1=0.1, thre2=0.05)."""
     maps, pafs = body_apply(params, images)
+    if style == "keypose":
+        kps, conf = decode_keypoints(maps, apply_sigmoid=False)
+        return render_pose(kps, conf, images.shape[1], images.shape[2],
+                           style=style, threshold=0.1)
     xy, conf = top_peaks(maps, max_people, apply_sigmoid=False)
 
     def one(xy_b, conf_b, paf_b):
@@ -527,7 +621,7 @@ def _bilinear_crop(image: jax.Array, box: jax.Array, crop: int):
 
 
 def _refine_pass(params, image, boxes, valid, height, width,
-                 crop, body, threshold):
+                 crop, body, threshold, style="openpose"):
     """Compiled second pass: crop -> re-run net -> single-person argmax
     decode -> per-person skeleton canvases, max-combined."""
     crops = jax.vmap(lambda b: _bilinear_crop(image, b, crop))(boxes)
@@ -543,8 +637,8 @@ def _refine_pass(params, image, boxes, valid, height, width,
     conf = conf * valid[:, None]
 
     def one(kp, cf):
-        return render_openpose(kp[None], cf[None], height, width,
-                               threshold=threshold)[0]
+        return render_pose(kp[None], cf[None], height, width,
+                           style=style, threshold=threshold)[0]
 
     return jax.vmap(one)(kps, conf).max(axis=0)
 
@@ -552,8 +646,10 @@ def _refine_pass(params, image, boxes, valid, height, width,
 def make_topdown(params: Params, body: bool = True, max_people: int = 8,
                  crop: int = 368, threshold: float = 0.1):
     """Build the two-pass top-down pose hinter. Returns a callable
-    [B,H,W,3] -> [B,H,W,3] skeleton canvas. Two jitted programs with a
-    host union-find between them; compiled once each, reused across
+    ([B,H,W,3], style=) -> [B,H,W,3] skeleton canvas (style: openpose |
+    keypose, the reference estimator's output_format contract,
+    mmpose_pipeline.py:254). Jitted programs per style with a host
+    union-find between them; compiled once each, reused across
     requests."""
     sig = not body  # random-init PoseNet emits logits; body CPM emits [0,1]
 
@@ -569,27 +665,30 @@ def make_topdown(params: Params, body: bool = True, max_people: int = 8,
             paf_threshold=0.05))(xy, conf, pafs)
         return xy, conf, bj, ok
 
-    @jax.jit
-    def refine(image, boxes, valid, fallback):
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(4,))
+    def refine(image, boxes, valid, fallback, style):
         out = _refine_pass(params, image, boxes, valid,
                            image.shape[0], image.shape[1],
-                           crop, body, threshold)
+                           crop, body, threshold, style=style)
         # no people found -> keep the bottom-up render
         return jnp.where(jnp.any(valid), out, fallback)
 
     bottom_up = estimate_and_render_body if body \
         else estimate_and_render_multi
 
-    def run(images):
+    def run(images, style: str = "openpose"):
         images = jnp.asarray(images, jnp.float32)
         xy, conf, bj, ok = coarse(images)
-        fallback = bottom_up(params, images, max_people=max_people)
+        fallback = bottom_up(params, images, max_people=max_people,
+                             style=style)
         outs = []
         for b in range(images.shape[0]):
             boxes, valid = group_people(xy[b], conf[b], bj[b], ok[b],
                                         max_people=max_people)
             outs.append(refine(images[b], jnp.asarray(boxes),
-                               jnp.asarray(valid), fallback[b]))
+                               jnp.asarray(valid), fallback[b], style))
         return jnp.stack(outs)
 
     return run

@@ -38,14 +38,19 @@ _CHANNEL_NAMES = {pb.CHANNEL_R: "r", pb.CHANNEL_G: "g", pb.CHANNEL_B: "b",
 def apply_image_adjustment(image: jnp.ndarray, adjustments,
                            manager=None, engine_id: str | None = None,
                            seed: int = 0) -> jnp.ndarray:
-    """image [B,H,W,C] float 0..1; adjustments: repeated ImageAdjustment."""
+    """image [B,H,W,C] float 0..1; adjustments: repeated ImageAdjustment.
+
+    `ctx` carries cross-adjustment state within one chain: the memorised
+    background mask that `background_removal.reapply` re-uses (reference
+    bgmask variable, gyre/services/generate.py:331-339)."""
     img = jnp.asarray(image, jnp.float32)
+    ctx: dict = {}
     for adj in adjustments:
         which = adj.WhichOneof("adjustment")
         if which is None:
             continue
         img = _APPLIERS[which](img, getattr(adj, which), manager, engine_id,
-                               seed)
+                               seed, ctx)
     return img
 
 
@@ -109,7 +114,7 @@ def _canny(img, a, *_):
     return jnp.tile(edges, (1, 1, 1, 3))
 
 
-def _edge(img, a, manager, engine_id, seed):
+def _edge(img, a, manager, engine_id, seed, ctx=None):
     """HED-style soft edge; falls back to sobel magnitude."""
     model = _task_engine(manager, "edge", engine_id)
     if model is not None:
@@ -118,7 +123,7 @@ def _edge(img, a, manager, engine_id, seed):
     return jnp.tile(jnp.clip(mag * 2.0, 0, 1), (1, 1, 1, 3))
 
 
-def _depth(img, a, manager, engine_id, seed):
+def _depth(img, a, manager, engine_id, seed, ctx=None):
     model = _task_engine(manager, "depth", engine_id)
     if model is not None:
         return model(img)
@@ -128,22 +133,36 @@ def _depth(img, a, manager, engine_id, seed):
     return jnp.tile(I.normalise(g), (1, 1, 1, 3))
 
 
-def _segmentation(img, a, manager, engine_id, seed):
+def _segmentation(img, a, manager, engine_id, seed, ctx=None):
     model = _task_engine(manager, "segmentation", engine_id)
     if model is not None:
         return model(img)
     return I.palletize(I.gaussian_blur(img, 4.0), 8)
 
 
-def _pose(img, a, manager, engine_id, seed):
+def _openpose(img, a, manager, engine_id, seed, ctx=None):
+    return _pose(img, manager, engine_id, style="openpose")
+
+
+def _keypose(img, a, manager, engine_id, seed, ctx=None):
+    # distinct T2I-Adapter keypose render (what t2i-adapter-keypose was
+    # trained on); reference estimator(tensor, output_format="keypose"),
+    # gyre/services/generate.py:321-329
+    return _pose(img, manager, engine_id, style="keypose")
+
+
+def _pose(img, manager, engine_id, style: str):
     model = _task_engine(manager, "pose", engine_id)
     if model is not None:
-        return model(img)
+        try:
+            return model(img, style=style)
+        except TypeError:   # style-unaware pose pipeline
+            return model(img)
     raise NotImplementedError(
         "pose estimation requires a configured pose engine")
 
 
-def _normal(img, a, manager=None, engine_id=None, seed=0):
+def _normal(img, a, manager=None, engine_id=None, seed=0, ctx=None):
     # model-backed first: a BAE normal engine when configured (reference
     # BaenormalPipeline); tensor fallback derives normals from luminance
     # as a depth proxy
@@ -164,15 +183,43 @@ def _normal(img, a, manager=None, engine_id=None, seed=0):
     return n
 
 
-def _background_removal(img, a, manager, engine_id, seed):
-    model = _task_engine(manager, "background_removal", engine_id)
-    if model is not None:
-        return model(img)
-    # contrast-based saliency fallback: center-weighted threshold mask
-    g = I.gaussian_blur(I.to_grayscale(img), 4.0)
-    edge = jnp.abs(g - jnp.mean(g, axis=(1, 2, 3), keepdims=True))
-    mask = (I.normalise(edge) > 0.25).astype(img.dtype)
-    return jnp.concatenate([img[..., :3], mask], axis=-1)
+def _background_removal(img, a, manager, engine_id, seed, ctx=None):
+    """Full BackgroundRemovalMode semantics (reference
+    gyre/services/generate.py:331-363): compute-or-reapply the mask,
+    then ALPHA (concat as alpha) / SOLID (black background) / BLUR
+    (infill + blur composite) / NOTHING (memorise only)."""
+    ctx = {} if ctx is None else ctx
+    if a.reapply:
+        mask = ctx.get("bgmask")
+        if mask is None:
+            raise ValueError("No mask memorised to reapply")
+    else:
+        model = _task_engine(manager, "background_removal", engine_id)
+        if model is not None:
+            mask = model(img)[..., 3:4]
+        else:
+            # contrast-based saliency fallback: center-weighted
+            # threshold mask
+            g = I.gaussian_blur(I.to_grayscale(img), 4.0)
+            edge = jnp.abs(g - jnp.mean(g, axis=(1, 2, 3), keepdims=True))
+            mask = (I.normalise(edge) > 0.25).astype(img.dtype)
+        ctx["bgmask"] = mask
+    mode = a.mode if a.HasField("mode") else pb.ALPHA
+    if mode == pb.NOTHING:
+        return img
+    rgb = img[..., :3]
+    if mode == pb.ALPHA:
+        return jnp.concatenate([rgb, mask], axis=-1)
+    if mode == pb.SOLID:
+        return rgb * mask
+    if mode == pb.BLUR:
+        # reference: infill the subject area from the surrounding
+        # background, heavy blur, composite (generate.py:356-359;
+        # our infill keeps where mask_keep==1, so keep = background)
+        bg = I.infill(rgb, 1.0 - mask, 26)
+        bg = I.gaussian_blur(bg, 13.0)
+        return rgb * mask + bg * (1.0 - mask)
+    raise ValueError(f"Unknown background removal mode {mode}")
 
 
 def _palletize(img, a, *_):
@@ -183,7 +230,7 @@ def _quantize(img, a, *_):
     return I.quantize(img, a.threshold or 0.5)
 
 
-def _shuffle(img, a, manager, engine_id, seed):
+def _shuffle(img, a, manager, engine_id, seed, ctx=None):
     return I.shuffle(img, jax.random.PRNGKey(seed))
 
 
@@ -203,8 +250,8 @@ _APPLIERS = {
     "blur": _blur, "invert": _invert, "levels": _levels,
     "channels": _channels, "rescale": _rescale, "autoscale": _autoscale,
     "crop": _crop, "canny_edge": _canny, "edge_detection": _edge,
-    "depth": _depth, "segmentation": _segmentation, "keypose": _pose,
-    "openpose": _pose, "normal": _normal,
+    "depth": _depth, "segmentation": _segmentation, "keypose": _keypose,
+    "openpose": _openpose, "normal": _normal,
     "background_removal": _background_removal, "palletize": _palletize,
     "quantize": _quantize, "shuffle": _shuffle,
 }

@@ -80,6 +80,52 @@ def test_background_removal_fallback_adds_alpha():
     assert out.shape[-1] == 4
 
 
+def test_background_removal_modes():
+    """BackgroundRemovalMode semantics (reference generate.py:331-363):
+    ALPHA concat, SOLID zeroes the background, BLUR composites an
+    infilled+blurred background, NOTHING passes through."""
+    img = _img()
+    alpha = apply_image_adjustment(
+        img, [_adj(background_removal={"mode": pb.ALPHA})])
+    assert alpha.shape[-1] == 4
+    mask = np.asarray(alpha[..., 3:])
+
+    nothing = apply_image_adjustment(
+        img, [_adj(background_removal={"mode": pb.NOTHING})])
+    np.testing.assert_allclose(np.asarray(nothing), np.asarray(img))
+
+    solid = apply_image_adjustment(
+        img, [_adj(background_removal={"mode": pb.SOLID})])
+    assert solid.shape[-1] == 3
+    np.testing.assert_allclose(np.asarray(solid),
+                               np.asarray(img) * mask, atol=1e-6)
+
+    blur = apply_image_adjustment(
+        img, [_adj(background_removal={"mode": pb.BLUR})])
+    assert blur.shape[-1] == 3
+    # foreground pixels unchanged; background replaced with a blur
+    fg = mask[0, ..., 0] > 0.5
+    np.testing.assert_allclose(np.asarray(blur)[0][fg],
+                               np.asarray(img)[0][fg], atol=1e-5)
+    assert np.abs(np.asarray(blur)[0][~fg]
+                  - np.asarray(img)[0][~fg]).max() > 1e-4
+
+
+def test_background_removal_reapply():
+    """reapply=True re-uses the memorised mask instead of re-running the
+    remover; with no memorised mask it must raise."""
+    img = _img()
+    out = apply_image_adjustment(img, [
+        _adj(background_removal={"mode": pb.NOTHING}),
+        _adj(blur={"sigma": 1.0}),
+        _adj(background_removal={"mode": pb.ALPHA, "reapply": True}),
+    ])
+    assert out.shape[-1] == 4
+    with pytest.raises(ValueError):
+        apply_image_adjustment(img, [
+            _adj(background_removal={"mode": pb.ALPHA, "reapply": True})])
+
+
 def test_adjustments_in_request():
     """Adjustment chain on an init-image artifact runs during extraction."""
     from gyre_tpu.ops import images as I

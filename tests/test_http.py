@@ -81,6 +81,9 @@ def test_status(base_url):
     status, body = _get(base_url + "/status")
     doc = json.loads(body)
     assert doc["engines"][0]["id"] == "test-engine"
+    # weight provenance is always reported (real|random|pending) so a
+    # random-init fallback is never silent
+    assert doc["engines"][0]["weights"] in ("real", "random", "pending")
 
 
 def test_rest_engines_list(base_url):

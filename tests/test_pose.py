@@ -40,6 +40,66 @@ def test_render_respects_confidence():
     assert float(jnp.max(canvas)) == 0.0
 
 
+def test_render_keypose_distinct_from_openpose():
+    """Keypose render (T2I-Adapter palette: joint dots + thin lines,
+    reference mmpose_pipeline.py:91-135) must differ visually from the
+    openpose limb render of the same skeleton."""
+    kps = np.zeros((1, 18, 2), np.float32)
+    kps[0, :, 0] = np.linspace(0.3, 0.7, 18)
+    kps[0, :, 1] = np.linspace(0.1, 0.9, 18)
+    conf = np.ones((1, 18), np.float32)
+    key = np.asarray(pose.render_keypose(jnp.asarray(kps),
+                                         jnp.asarray(conf), 64, 64))
+    op = np.asarray(pose.render_openpose(jnp.asarray(kps),
+                                         jnp.asarray(conf), 64, 64))
+    assert key.shape == op.shape == (1, 64, 64, 3)
+    assert key.max() > 0.5 and op.max() > 0.5
+    # keypose palette is only blue/green/orange (+ their max-blends):
+    # no pure-red pixel can appear; openpose's 17-color wheel has red
+    flat_k = key.reshape(-1, 3)
+    pure_red_k = ((flat_k[:, 0] > 0.9) & (flat_k[:, 1] < 0.1)
+                  & (flat_k[:, 2] < 0.1)).sum()
+    assert pure_red_k == 0
+    # the two styles draw different surfaces (links/joints/palette)
+    assert (key.any(-1) != op.any(-1)).mean() > 0.01
+    assert np.abs(key - op).max() > 0.1
+
+
+def test_keypose_render_respects_confidence():
+    kps = np.random.RandomState(0).rand(1, 18, 2).astype(np.float32)
+    conf = np.zeros((1, 18), np.float32)
+    canvas = pose.render_keypose(jnp.asarray(kps), jnp.asarray(conf),
+                                 32, 32)
+    assert float(jnp.max(canvas)) == 0.0
+
+
+def test_keypose_adjustment_distinct_render():
+    """The keypose adjustment must produce a different image than the
+    openpose adjustment from the same engine (reference output_format
+    dispatch, mmpose_pipeline.py:254,283)."""
+    from gyre_tpu.generated import generation_pb2 as pb
+    from gyre_tpu.manager.manager import EngineManager
+    from gyre_tpu.services.adjustments import apply_image_adjustment
+
+    m = EngineManager(
+        [{"id": "gen", "model": "preset/test", "default": True},
+         {"id": "pose", "task": "pose"}],
+        compute_dtype=jnp.float32)
+    img = jnp.asarray(np.random.RandomState(3).rand(1, 64, 64, 3),
+                      jnp.float32)
+    kadj = pb.ImageAdjustment()
+    kadj.keypose.SetInParent()
+    oadj = pb.ImageAdjustment()
+    oadj.openpose.SetInParent()
+    k = np.asarray(apply_image_adjustment(img, [kadj], m, None))
+    o = np.asarray(apply_image_adjustment(img, [oadj], m, None))
+    assert k.shape == o.shape == (1, 64, 64, 3)
+    # random-weight net may detect nothing on noise; renders must not be
+    # identical when anything was drawn
+    if k.max() > 0 or o.max() > 0:
+        assert np.abs(k - o).max() > 1e-3
+
+
 def test_pose_task_engine():
     from gyre_tpu.generated import generation_pb2 as pb
     from gyre_tpu.manager.manager import EngineManager
