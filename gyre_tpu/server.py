@@ -106,6 +106,14 @@ def parse_args(argv=None):
                      help="tensor-parallel width of the device mesh")
     tpu.add_argument("--dtype", type=str, default="bfloat16",
                      choices=["bfloat16", "float32"])
+    tpu.add_argument("--hbm_optimisation_level", "-V", type=int,
+                     default=int(os.environ.get(
+                         "SD_HBM_OPTIMISATION_LEVEL",
+                         os.environ.get("SD_VRAM_OPTIMISATION_LEVEL", 3))),
+                     help="trade quality for HBM (0 = none, 5 = max); "
+                          "sets the hbm{N} (and reference-compatible "
+                          "vram{N}) config include flags, e.g. the "
+                          "limit_hbm.yaml overlay at level >= 4")
     tpu.add_argument("--prewarm", type=str, default=os.environ.get(
         "SD_PREWARM", "auto"), choices=["auto", "on", "off", "full"],
         help="compile the default engine's serving program in the "
@@ -215,7 +223,16 @@ def build_manager(args):
 
     args.enginecfg = resolve_enginecfg(args.enginecfg)
     if os.path.exists(args.enginecfg):
-        entries = engines_yaml.load(args.enginecfg)
+        # memory-optimisation include flags: hbm{N} is the TPU-native
+        # name, vram{N} kept as an alias so configs written against the
+        # reference's `!include(vram4)` keep working
+        # (reference gyre/server.py:1081-1089)
+        level = int(getattr(args, "hbm_optimisation_level", 3) or 0)
+        flags = {}
+        for i in range(2, 6):
+            flags[f"hbm{i}"] = level >= i
+            flags[f"vram{i}"] = level >= i
+        entries = engines_yaml.load(args.enginecfg, flags)
     else:
         logger.warning("engine config %s not found; using default engine",
                        args.enginecfg)

@@ -324,3 +324,38 @@ def test_dist_config_inventory():
     # hintsets including the sd21 file
     assert {"hintset-sd15-common", "hintset-sd21-controlnet",
             "hintset-sd21-common"} <= hids
+
+
+def test_user_config_overlay_chain():
+    """Master config exposes the reference's user-override hooks
+    (gyre/config/engines.yaml:25-29): custom/*.yaml, the conditional
+    memory-limit overlay, and user_tweaks.yaml loaded last (wins)."""
+    from gyre_tpu.manager import engines_yaml
+
+    base = engines_yaml.load("config/engines.yaml")
+    cc = [x for x in base if x.get("model_id") == "clip-common"]
+    assert cc and cc[-1]["model"] == "@laion-clip-h"
+
+    # hbm4 include flag swaps clip-common to the ViT-B tower
+    lim = engines_yaml.load("config/engines.yaml", {"hbm4": True})
+    cc = [x for x in lim if x.get("model_id") == "clip-common"]
+    assert cc and cc[-1]["model"] == "@laion-clip-b"
+
+
+def test_user_tweaks_wins_by_id(tmp_path):
+    """A user_tweaks.yaml entry overlays core entries with the same id."""
+    import shutil
+
+    from gyre_tpu.manager import engines_yaml
+
+    cfg = tmp_path / "config"
+    shutil.copytree("config", cfg)
+    (cfg / "user_tweaks.yaml").write_text(
+        '- id: "zoedepth"\n  enabled: true\n')
+    (cfg / "custom" / "extra.yaml").write_text(
+        '- id: "my-custom-engine"\n  task: depth\n'
+        '  model: "@zoedepth-n"\n')
+    entries = engines_yaml.load(str(cfg / "engines.yaml"))
+    zoe = [x for x in entries if x.get("id") == "zoedepth"]
+    assert zoe and zoe[-1]["enabled"] is True
+    assert any(x.get("id") == "my-custom-engine" for x in entries)
