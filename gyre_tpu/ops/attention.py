@@ -47,7 +47,7 @@ def _ref_attention(q, k, v, scale):
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-                  scale, block_k, kv_valid, chunks_per_block, kv_rows,
+                  block_k, kv_valid, chunks_per_block, kv_rows,
                   num_kv_blocks, d_pad):
     """One (bh, q-block, kv-grid-block) step. For T<=8192 the whole K/V
     for this (batch, head) sits in VMEM as a single kv grid block
@@ -76,18 +76,24 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         m, l, acc = carry
         k = k_ref[0, pl.ds(ci * block_k, block_k), :]  # [CK, D]
         v = v_ref[0, pl.ds(ci * block_k, block_k), :]
-        # matmuls in input dtype (bf16 MXU), stats in f32
+        # matmuls in input dtype (bf16 MXU), stats in f32. q arrives
+        # pre-multiplied by scale*log2(e) (see flash_attention_bhtd), so
+        # s is already in the log2 domain: exp2 is the VPU's native
+        # transcendental and the per-element `* scale` multiply on the
+        # [BQ, CK] score tile is gone — at SDXL shapes the softmax VPU
+        # chain is the kernel's bottleneck (PERFORMANCE.md), so every
+        # removed vector op on the score tile counts.
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # [BQ, CK]
+            preferred_element_type=jnp.float32)           # [BQ, CK]
         if masked:
             col = jax.lax.broadcasted_iota(
                 jnp.int32, (bq, block_k), 1) + \
                 ki * kv_rows + ci * block_k
             s = jnp.where(col < kv_valid, s, -jnp.inf)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -117,14 +123,23 @@ def _pad_to(x, size, axis):
 
 @functools.partial(jax.jit, static_argnames=("scale",))
 def flash_attention_bhtd(q, k, v, scale: float):
-    """[B,H,Tq,D] x [B,H,Tk,D] -> [B,H,Tq,D] via the Pallas kernel."""
+    """[B,H,Tq,D] x [B,H,Tk,D] -> [B,H,Tq,D] via the Pallas kernel.
+
+    q is pre-multiplied by scale*log2(e) so the kernel's streaming
+    softmax runs entirely in the log2 domain (exp2 = the hardware
+    transcendental, no per-element scale multiply on the score tile)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, tq, d = q.shape
     tk = k.shape[2]
+    q = q * jnp.asarray(scale * math.log2(math.e), q.dtype)
     d_pad = max(LANE, ((d + LANE - 1) // LANE) * LANE)
-    tq_pad = ((tq + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
+    # larger q-blocks at long T: fewer grid steps and softmax-state
+    # spills; VMEM cost (q + out + acc scratch at d_pad=128) stays
+    # under 1.5 MB even at 1024 rows
+    block_q = BLOCK_Q if tq < 8192 or d_pad > LANE else 2 * BLOCK_Q
+    tq_pad = ((tq + block_q - 1) // block_q) * block_q
     # KV chunk: sublane-aligned (16 rows) and no larger than needed
     block_k = min(BLOCK_K, ((tk + 15) // 16) * 16)
     tk_pad = ((tk + block_k - 1) // block_k) * block_k
@@ -141,30 +156,30 @@ def flash_attention_bhtd(q, k, v, scale: float):
     kp = _pad_to(_pad_to(k, d_pad, 3), tk_pad, 2).reshape(b * h, tk_pad, d_pad)
     vp = _pad_to(_pad_to(v, d_pad, 3), tk_pad, 2).reshape(b * h, tk_pad, d_pad)
     kernel = functools.partial(
-        _flash_kernel, scale=scale, block_k=block_k, kv_valid=tk,
+        _flash_kernel, block_k=block_k, kv_valid=tk,
         chunks_per_block=kv_rows // block_k, kv_rows=kv_rows,
         num_kv_blocks=num_kv_blocks, d_pad=d_pad)
-    grid = (b * h, tq_pad // BLOCK_Q, num_kv_blocks)
+    grid = (b * h, tq_pad // block_q, num_kv_blocks)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         interpret=jax.default_backend() != "tpu",
         in_specs=[
-            pl.BlockSpec((1, BLOCK_Q, d_pad), lambda i, j, ki: (i, j, 0),
+            pl.BlockSpec((1, block_q, d_pad), lambda i, j, ki: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kv_rows, d_pad), lambda i, j, ki: (i, ki, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kv_rows, d_pad), lambda i, j, ki: (i, ki, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BLOCK_Q, d_pad),
+        out_specs=pl.BlockSpec((1, block_q, d_pad),
                                lambda i, j, ki: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, tq_pad, d_pad), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
-            pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
-            pltpu.VMEM((BLOCK_Q, d_pad), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * tq_pad * tk_pad * d_pad,
