@@ -779,7 +779,15 @@ def derive_modelset_config(path: str,
 
     cfg = fallback
     uc = _read_json(os.path.join(path, "unet", "config.json"))
-    if uc:
+    if uc and ("KDownBlock2D" in (uc.get("down_block_types") or []) or
+               uc.get("time_embedding_type") == "fourier"):
+        # k-upscaler UNet (sd-x2-latent-upscaler); the real dims come
+        # from tensor shapes in kunet.load_kunet — keep the fallback's
+        # KUNetConfig here, just pick up the sample size
+        cfg = dataclasses.replace(
+            cfg, sample_size=int(uc.get("sample_size",
+                                        fallback.sample_size)))
+    elif uc:
         cfg = dataclasses.replace(
             cfg, unet=C.unet_config_from_diffusers(uc, fallback.unet),
             sample_size=int(uc.get("sample_size", fallback.sample_size)))
@@ -812,8 +820,19 @@ def load_modelset(path: str, cfg: ModelSetConfig, dtype=None,
     vae_file = _find_weights(os.path.join(path, "vae"))
     if not unet_file or not vae_file:
         raise FileNotFoundError(f"no unet/vae safetensors under {path}")
-    unet_params = load_unet_params(read_safetensors(unet_file), cfg.unet,
-                                   dtype)
+    unet_state = read_safetensors(unet_file)
+    if "time_proj.weight" in unet_state and \
+            not any(k.startswith("mid_block.") for k in unet_state):
+        # k-upscaler layout (sd-x2-latent-upscaler): fourier time proj,
+        # no mid block — strict KBlock loader, config from shapes
+        import dataclasses as _dc
+
+        from . import kunet as kunet_mod
+
+        unet_params, kcfg = kunet_mod.load_kunet(unet_state, dtype)
+        cfg = _dc.replace(cfg, unet=kcfg)
+    else:
+        unet_params = load_unet_params(unet_state, cfg.unet, dtype)
     vae_params = load_vae_params(read_safetensors(vae_file), cfg.vae, dtype)
     text_params = []
     for i, te_cfg in enumerate(cfg.text_encoders):

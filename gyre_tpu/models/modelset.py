@@ -74,6 +74,16 @@ def _host_random_like(init_fn, key, seed: int, dtype):
 import numpy as np  # noqa: E402
 
 
+def _unet_init(key, ucfg, dtype):
+    """Dispatch by denoiser config type: standard SD UNet vs the
+    sd-x2 latent upscaler's K-UNet (models/kunet.py)."""
+    from . import kunet as kunet_mod
+
+    if isinstance(ucfg, kunet_mod.KUNetConfig):
+        return kunet_mod.init(key, ucfg, dtype)
+    return unet_mod.init(key, ucfg, dtype)
+
+
 def random_modelset(cfg: configs.ModelSetConfig, seed: int = 0,
                     dtype=jnp.bfloat16, engine_id: str = "random",
                     fast_init: bool = True) -> ModelSet:
@@ -103,14 +113,14 @@ def random_modelset(cfg: configs.ModelSetConfig, seed: int = 0,
             return walk(tree)
 
         unet_params = fix_norms(_host_random_like(
-            lambda k: unet_mod.init(k, cfg.unet, dtype), k_unet, seed, dtype))
+            lambda k: _unet_init(k, cfg.unet, dtype), k_unet, seed, dtype))
         vae_params = fix_norms(_host_random_like(
             lambda k: vae_mod.init(k, cfg.vae, dtype), k_vae, seed + 1, dtype))
         text_params = [fix_norms(_host_random_like(
             lambda k, te=te: clip_mod.init(k, te, dtype), k, seed + 2 + i,
             dtype)) for i, (k, te) in enumerate(zip(k_tes, cfg.text_encoders))]
     else:
-        unet_params = unet_mod.init(k_unet, cfg.unet, dtype)
+        unet_params = _unet_init(k_unet, cfg.unet, dtype)
         vae_params = vae_mod.init(k_vae, cfg.vae, dtype)
         text_params = [clip_mod.init(k, te, dtype)
                        for k, te in zip(k_tes, cfg.text_encoders)]

@@ -143,30 +143,21 @@ class DiffusionUpscaler:
 
 # The sd-x2 latent upscaler (reference serves it via diffusers'
 # StableDiffusionLatentUpscalePipeline, config/engines/upscaler.yaml:6-15):
-# a k-upscaler-style UNet that denoises 2x-resolution latents conditioned
-# on the nearest-upsampled source latents (8 input channels) with
-# c_noise = 0.25*ln(sigma) continuous noise conditioning and FiLM
-# ("scale_shift") time modulation. Default dims are a best-effort match of
-# the published checkpoint family; at load time the config is re-derived
-# from the checkpoint's tensor shapes (models/load.derive_modelset_config),
-# so real weights dictate the architecture.
-UNET_X2 = configs.UNetConfig(
-    in_channels=8,
-    out_channels=4,
-    block_out_channels=(256, 512, 1024, 1024),
-    attn_levels=(False, True, True, True),
-    transformer_layers=(0, 1, 1, 1),
-    num_heads=(4, 8, 16, 16),
-    cross_attention_dim=768,
-    time_scale_shift=True,
-)
+# the k-upscaler UNet (models/kunet.py — fourier time embedding,
+# ada_group FiLM resnets, KAttentionBlocks, blur resampling, no mid
+# block) denoising 2x-resolution latents conditioned on the
+# nearest-upsampled source latents (8 input channels) with
+# c_noise = 0.25*ln(sigma) continuous noise conditioning. At load time
+# the config is re-derived from the checkpoint's tensor shapes
+# (models/kunet.load_kunet), so real weights dictate the architecture;
+# the strict loader + torch-oracle parity live in tests/test_kunet.py.
+from ..models import kunet as kunet_mod
+
 X2_CONFIG = configs.ModelSetConfig(
-    unet=UNET_X2, text_encoders=(configs.CLIP_VIT_L,), sample_size=128)
+    unet=kunet_mod.X2_DEFAULT, text_encoders=(configs.CLIP_VIT_L,),
+    sample_size=128)
 X2_TEST_CONFIG = configs.ModelSetConfig(
-    unet=dataclasses.replace(
-        UNET_X2, block_out_channels=(16, 32), attn_levels=(False, True),
-        transformer_layers=(0, 1), num_heads=(4, 4),
-        cross_attention_dim=64, time_embed_dim=64, norm_groups=8),
+    unet=dataclasses.replace(kunet_mod.X2_TEST, cross_attention_dim=64),
     vae=configs.VAEConfig(block_out_channels=(16, 32, 64, 64),
                           norm_groups=8),
     text_encoders=(configs.CLIP_TEST,), sample_size=16)
@@ -234,11 +225,10 @@ class LatentUpscalerX2:
                 reps = x.shape[0] // cond.shape[0]
                 cc = jnp.tile(cond, (reps, 1, 1, 1)).astype(cdt)
                 x8 = jnp.concatenate([x.astype(cdt), cc], axis=-1)
-                # k-upscaler continuous noise conditioning: the timestep
-                # input IS c_noise = 0.25*ln(sigma) (already applied by
-                # the denoiser's sigma->t map below)
-                out = unet_mod.apply(ms.unet_params, ms.config.unet, x8,
-                                     t, context.astype(cdt))
+                # t IS c_noise = 0.25*ln(sigma) (set in dn below); the
+                # K-UNet's fourier embedding consumes it directly
+                out = kunet_mod.apply(ms.unet_params, ms.config.unet, x8,
+                                      t, context.astype(cdt))
                 return out.astype(jnp.float32)
 
             model = denoiser.cfg_model(model_fn, ctx_u, ctx_g, gs)
@@ -248,7 +238,7 @@ class LatentUpscalerX2:
                 sig = jnp.asarray(sigma, jnp.float32)
                 c_in = 1.0 / jnp.sqrt(sig ** 2 + 1.0)
                 t = jnp.full((x.shape[0],), 0.0, jnp.float32) + \
-                    0.25 * jnp.log(jnp.maximum(sig, 1e-8)) * 1000.0
+                    0.25 * jnp.log(jnp.maximum(sig, 1e-8))
                 eps = model(x * c_in, t)
                 return x - sig * eps
 

@@ -857,3 +857,211 @@ class MlsdLarge(nn.Module):
         x = self.block20(self.block19(c2, x))
         x = self.block22(self.block21(c1, x))
         return self.block23(x)
+
+
+# ----------------------------------------------------------------- K-UNet
+
+# sd-x2-latent-upscaler oracle: diffusers' KBlock UNet2DConditionModel
+# structure with the published state-dict key names (time_proj fourier
+# weight, time_embedding.linear_*, down_blocks.N.resnets.M ada_group
+# resnets with norm{1,2}.linear FiLM, KAttentionBlock attn1/attn2 with
+# to_out.0 + norm_cross, blur up/downsampling, no mid block). Independent
+# reimplementation so gyre_tpu/models/kunet.py's NHWC port and strict
+# loader are verified against real torch semantics.
+
+
+class KAdaGroupNorm(nn.Module):
+    def __init__(self, emb_dim, dim, groups):
+        super().__init__()
+        self.linear = nn.Linear(emb_dim, dim * 2)
+        self.groups = groups
+
+    def forward(self, x, emb):
+        e = self.linear(emb)
+        scale, shift = e.chunk(2, dim=1)
+        x = F.group_norm(x, self.groups, eps=1e-5)
+        return x * (1 + scale[:, :, None, None]) + shift[:, :, None, None]
+
+
+class KResnet(nn.Module):
+    def __init__(self, cin, cout, temb_dim, group_size):
+        super().__init__()
+        self.norm1 = KAdaGroupNorm(temb_dim, cin, max(1, cin // group_size))
+        self.conv1 = nn.Conv2d(cin, cout, 3, padding=1)
+        self.norm2 = KAdaGroupNorm(temb_dim, cout, max(1, cout // group_size))
+        self.conv2 = nn.Conv2d(cout, cout, 3, padding=1)
+        if cin != cout:
+            self.conv_shortcut = nn.Conv2d(cin, cout, 1, bias=False)
+
+    def forward(self, x, emb):
+        h = F.gelu(self.norm1(x, emb))
+        h = self.conv1(h)
+        h = F.gelu(self.norm2(h, emb))
+        h = self.conv2(h)
+        sc = self.conv_shortcut(x) if hasattr(self, "conv_shortcut") else x
+        return sc + h
+
+
+class KOracleAttention(nn.Module):
+    """diffusers Attention key surface: to_q/k/v (no bias), to_out.0,
+    optional norm_cross LayerNorm on the encoder states."""
+
+    def __init__(self, dim, kv_dim, heads, norm_cross=False):
+        super().__init__()
+        self.heads = heads
+        self.to_q = nn.Linear(dim, dim, bias=False)
+        self.to_k = nn.Linear(kv_dim, dim, bias=False)
+        self.to_v = nn.Linear(kv_dim, dim, bias=False)
+        self.to_out = nn.ModuleList([nn.Linear(dim, dim), nn.Dropout(0.0)])
+        if norm_cross:
+            self.norm_cross = nn.LayerNorm(kv_dim)
+
+    def forward(self, x, ctx=None):
+        src = x if ctx is None else ctx
+        if ctx is not None and hasattr(self, "norm_cross"):
+            src = self.norm_cross(src)
+        b, t, c = x.shape
+        h = self.heads
+        d = c // h
+        q = self.to_q(x).view(b, t, h, d).transpose(1, 2)
+        k = self.to_k(src).view(b, src.shape[1], h, d).transpose(1, 2)
+        v = self.to_v(src).view(b, src.shape[1], h, d).transpose(1, 2)
+        o = F.scaled_dot_product_attention(q, k, v)
+        o = o.transpose(1, 2).reshape(b, t, c)
+        return self.to_out[0](o)
+
+
+class KAttentionBlock(nn.Module):
+    def __init__(self, dim, heads, cross_dim, temb_dim, group_size,
+                 self_attn):
+        super().__init__()
+        if self_attn:
+            self.norm1 = KAdaGroupNorm(temb_dim, dim,
+                                       max(1, dim // group_size))
+            self.attn1 = KOracleAttention(dim, dim, heads)
+        self.norm2 = KAdaGroupNorm(temb_dim, dim, max(1, dim // group_size))
+        self.attn2 = KOracleAttention(dim, cross_dim, heads, norm_cross=True)
+
+    def forward(self, x, emb, ctx):
+        b, c, hh, ww = x.shape
+        if hasattr(self, "attn1"):
+            n = self.norm1(x, emb).view(b, c, hh * ww).transpose(1, 2)
+            a = self.attn1(n).transpose(1, 2).view(b, c, hh, ww)
+            x = x + a
+        n = self.norm2(x, emb).view(b, c, hh * ww).transpose(1, 2)
+        a = self.attn2(n, ctx).transpose(1, 2).view(b, c, hh, ww)
+        return x + a
+
+
+def _k_blur_kernel(mult=1.0):
+    k1 = torch.tensor([[1.0, 3.0, 3.0, 1.0]]) / 8.0 * mult
+    return k1.T @ k1
+
+
+def k_blur_down(x):
+    c = x.shape[1]
+    x = F.pad(x, (1, 1, 1, 1), "reflect")
+    w = x.new_zeros(c, c, 4, 4)
+    idx = torch.arange(c)
+    w[idx, idx] = _k_blur_kernel().to(x)
+    return F.conv2d(x, w, stride=2)
+
+
+def k_blur_up(x):
+    c = x.shape[1]
+    x = F.pad(x, (1, 1, 1, 1), "reflect")
+    w = x.new_zeros(c, c, 4, 4)
+    idx = torch.arange(c)
+    w[idx, idx] = _k_blur_kernel(2.0).to(x)
+    return F.conv_transpose2d(x, w, stride=2, padding=3)
+
+
+class KBlock(nn.Module):
+    def __init__(self, cin, cout, layers, temb_dim, group_size, heads,
+                 cross_dim, attn, self_attn, last_out=None):
+        super().__init__()
+        res, att = [], []
+        for i in range(layers):
+            ci = cin if i == 0 else cout
+            co = cout if (last_out is None or i < layers - 1) else last_out
+            res.append(KResnet(ci, co, temb_dim, group_size))
+            if attn:
+                att.append(KAttentionBlock(co, max(1, co // heads), cross_dim,
+                                           temb_dim, group_size, self_attn))
+        self.resnets = nn.ModuleList(res)
+        if attn:
+            self.attentions = nn.ModuleList(att)
+
+    def forward(self, x, emb, ctx):
+        for i, r in enumerate(self.resnets):
+            x = r(x, emb)
+            if hasattr(self, "attentions"):
+                x = self.attentions[i](x, emb, ctx)
+        return x
+
+
+class KFourier(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.weight = nn.Parameter(torch.randn(dim) * 16.0,
+                                   requires_grad=False)
+
+    def forward(self, t):
+        ang = 2 * torch.pi * t[:, None] * self.weight[None]
+        return torch.cat([torch.cos(ang), torch.sin(ang)], dim=-1)
+
+
+class KTimeEmbedding(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.linear_1 = nn.Linear(dim, dim)
+        self.linear_2 = nn.Linear(dim, dim)
+
+    def forward(self, x):
+        return self.linear_2(F.gelu(self.linear_1(x)))
+
+
+class KUnet(nn.Module):
+    """head_dim: channels per attention head (published: 64)."""
+
+    def __init__(self, in_ch=8, out_ch=4, boc=(64, 128), layers=2,
+                 cross_dim=96, head_dim=64, group_size=16,
+                 attn_levels=(False, True), self_attn_levels=(False, True)):
+        super().__init__()
+        ted = boc[0] * 2
+        self.time_proj = KFourier(boc[0])
+        self.time_embedding = KTimeEmbedding(ted)
+        self.conv_in = nn.Conv2d(in_ch, boc[0], 3, padding=1)
+        downs, ups = [], []
+        for li, co in enumerate(boc):
+            ci = boc[max(li - 1, 0)]
+            downs.append(KBlock(ci, co, layers, ted, group_size, head_dim,
+                                cross_dim, attn_levels[li],
+                                self_attn_levels[li]))
+        rev = list(reversed(boc))
+        for li in range(len(boc)):
+            c_here = rev[li]
+            c_out = rev[min(li + 1, len(boc) - 1)]
+            lvl = len(boc) - 1 - li
+            ups.append(KBlock(2 * c_here, c_here, layers, ted, group_size,
+                              head_dim, cross_dim, attn_levels[lvl],
+                              self_attn_levels[lvl], last_out=c_out))
+        self.down_blocks = nn.ModuleList(downs)
+        self.up_blocks = nn.ModuleList(ups)
+        self.conv_out = nn.Conv2d(boc[0], out_ch, 3, padding=1)
+
+    def forward(self, x, c_noise, ctx):
+        emb = self.time_embedding(self.time_proj(c_noise))
+        h = self.conv_in(x)
+        skips = []
+        for li, blk in enumerate(self.down_blocks):
+            h = blk(h, emb, ctx)
+            skips.append(h)
+            if li != len(self.down_blocks) - 1:
+                h = k_blur_down(h)
+        for li, blk in enumerate(self.up_blocks):
+            h = torch.cat([h, skips[-(li + 1)]], dim=1)
+            h = blk(h, emb, ctx)
+            if li != len(self.up_blocks) - 1:
+                h = k_blur_up(h)
+        return self.conv_out(h)
