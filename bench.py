@@ -291,6 +291,46 @@ def phase_serving():
     print(json.dumps(out))
 
 
+def phase_sdxl():
+    """Secondary metric (VERDICT r3 #2): SDXL-1024 20-step CFG end-to-end
+    latency — the flagship BASELINE config-5 shape, exercising the flash
+    attention path (T=16384 level-0 self-attention). Random weights,
+    true architecture/shapes/dtype."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(CACHE_PATH, "xla-sdxl"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gyre_tpu.models import configs
+    from gyre_tpu.models.modelset import random_modelset
+    from gyre_tpu.pipeline.unified import UnifiedPipeline
+
+    ms = random_modelset(configs.SDXL, seed=0, dtype=jnp.bfloat16,
+                         engine_id="sdxl-bench")
+    pipe = UnifiedPipeline(ms, compute_dtype=jnp.bfloat16)
+    kw = dict(prompt="a photograph of an astronaut riding a horse",
+              negative_prompt="blurry", height=1024, width=1024, steps=20,
+              sampler="k_dpmpp_2m", guidance_scale=7.5,
+              output_dtype="uint8", chunk_steps=10,
+              stop_event=threading.Event())
+    t0 = time.perf_counter()
+    np.asarray(pipe(seeds=[0], **kw))
+    compile_s = time.perf_counter() - t0
+    lat = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        np.asarray(pipe(seeds=[i + 1], **kw))
+        lat.append(time.perf_counter() - t0)
+    print(json.dumps({
+        "sdxl_1024_20step_s": round(sorted(lat)[len(lat) // 2], 2),
+        "sdxl_compile_s": round(compile_s, 1),
+    }))
+
+
 def phase_warmboot():
     proc, ready_s = _boot_server("warm")
     try:
@@ -329,6 +369,8 @@ def main():
         return phase_serving()
     if args.phase == "warmboot":
         return phase_warmboot()
+    if args.phase == "sdxl":
+        return phase_sdxl()
 
     result = {
         "metric": "images/sec/chip (SD1.5 512^2, 20-step DPM++2M, CFG)",
@@ -366,6 +408,10 @@ def main():
         result.update(_run_phase("warmboot", 2400))
     except Exception as e:  # noqa: BLE001
         result["warmboot_error"] = str(e)[:300]
+    try:
+        result.update(_run_phase("sdxl", 2400))
+    except Exception as e:  # noqa: BLE001
+        result["sdxl_error"] = str(e)[:300]
     print(json.dumps(result))
 
 

@@ -48,7 +48,7 @@ def _ref_attention(q, k, v, scale):
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
                   block_k, kv_valid, chunks_per_block, kv_rows,
-                  num_kv_blocks, d_pad):
+                  num_kv_blocks, l_col, exp_bf16):
     """One (bh, q-block, kv-grid-block) step. For T<=8192 the whole K/V
     for this (batch, head) sits in VMEM as a single kv grid block
     (pallas keeps it resident across q-blocks — DMA'd once per head; the
@@ -92,9 +92,22 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
                 ki * kv_rows + ci * block_k
             s = jnp.where(col < kv_valid, s, -jnp.inf)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp2(s - m_new)
+        if exp_bf16:
+            # bf16 transcendental: the arg is in [-inf, 0] and the f32
+            # path casts p to bf16 before the MXU anyway, so matmul-input
+            # precision is identical — only the (already sub-1%) arg
+            # rounding moves
+            p = jnp.exp2((s - m_new).astype(v.dtype))
+        else:
+            p = jnp.exp2(s - m_new)
         alpha = jnp.exp2(m - m_new)
-        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if l_col is None:
+            l = l * alpha + jnp.sum(p.astype(jnp.float32), axis=-1,
+                                    keepdims=True)
+        # when l_col is set, V's first zero-padding column holds ones, so
+        # this matmul also accumulates the softmax denominator into
+        # acc[:, l_col] — the row-sum rides the MXU instead of a VPU
+        # reduction pass over the [BQ, CK] tile
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -108,8 +121,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
 
     @pl.when(ki == num_kv_blocks - 1)
     def _():
-        o_ref[0] = (acc_scr[:] /
-                    jnp.maximum(l_scr[:], 1e-20)).astype(o_ref.dtype)
+        acc = acc_scr[:]
+        if l_col is None:
+            l = l_scr[:]
+        else:
+            l = acc[:, l_col:l_col + 1]
+        o_ref[0] = (acc / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
 
 
 def _pad_to(x, size, axis):
@@ -121,13 +138,37 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("scale",))
-def flash_attention_bhtd(q, k, v, scale: float):
+# Scoped-vmem limit on v5e is 16 MiB; leave headroom for Mosaic
+# bookkeeping the estimate below can't see. The estimator was validated
+# against a real compile failure: (bq=1024, bk=1024, kv=8192, d=128)
+# estimates 17.5 MiB and the compiler reported 17.40 MiB.
+_VMEM_BUDGET = 14 * 2**20
+
+
+def _vmem_estimate(block_q, block_k, kv_rows, d_pad):
+    io = 2 * (block_q * d_pad * 2) * 2        # q + out blocks, dbl-buffered
+    kv = 2 * (kv_rows * d_pad * 2) * 2        # k + v blocks, dbl-buffered
+    scratch = block_q * d_pad * 4 + 2 * block_q * 4
+    temps = block_q * block_k * 8             # f32 score tile + exp/cast
+    return io + kv + scratch + temps
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "scale", "block_q", "block_k", "kv_budget", "exp_bf16"))
+def flash_attention_bhtd(q, k, v, scale: float, *, block_q: int = 0,
+                         block_k: int = 0, kv_budget: int = 0,
+                         exp_bf16: bool = False):
     """[B,H,Tq,D] x [B,H,Tk,D] -> [B,H,Tq,D] via the Pallas kernel.
 
     q is pre-multiplied by scale*log2(e) so the kernel's streaming
     softmax runs entirely in the log2 domain (exp2 = the hardware
-    transcendental, no per-element scale multiply on the score tile)."""
+    transcendental, no per-element scale multiply on the score tile).
+
+    block_q/block_k/kv_budget/exp_bf16 override the measured defaults
+    (scripts/profile_attn_sdxl.py sweeps them); 0 = auto. Whatever the
+    request, block sizes are shrunk until the static VMEM estimate fits
+    the 16 MiB scoped-vmem budget — oversized configs are a hard
+    compile error on the remote-compile platform, not a slowdown."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -135,30 +176,48 @@ def flash_attention_bhtd(q, k, v, scale: float):
     tk = k.shape[2]
     q = q * jnp.asarray(scale * math.log2(math.e), q.dtype)
     d_pad = max(LANE, ((d + LANE - 1) // LANE) * LANE)
-    # larger q-blocks at long T: fewer grid steps and softmax-state
-    # spills; VMEM cost (q + out + acc scratch at d_pad=128) stays
-    # under 1.5 MB even at 1024 rows
-    block_q = BLOCK_Q if tq < 8192 or d_pad > LANE else 2 * BLOCK_Q
-    tq_pad = ((tq + block_q - 1) // block_q) * block_q
+    # Block choice, measured on v5e at T=16384/d=64 (profile_attn_sdxl):
+    # the score-tile width block_k dominates (1024 -> 512 costs 28%:
+    # 24.6 -> 31.6 ms), KV grid residency matters least (whole-KV 4 MB
+    # vs 2 MB blocks is within 2%), bf16 exp2 is a wash. So shrink KV
+    # residency first, score tile last, when fitting scoped VMEM.
+    block_q = block_q or (
+        2 * BLOCK_Q if tq >= 4096 and d_pad <= LANE else BLOCK_Q)
     # KV chunk: sublane-aligned (16 rows) and no larger than needed
-    block_k = min(BLOCK_K, ((tk + 15) // 16) * 16)
-    tk_pad = ((tk + block_k - 1) // block_k) * block_k
-
-    # kv grid blocks: whole KV resident when it fits (<=8192 rows at
-    # d_pad=128 = 4.2 MB, x2 double-buffered x2 tensors under the 16 MB
-    # scoped-vmem budget); longer sequences split across the grid
-    max_rows = max(block_k, (4 * 1024 * 1024) // (d_pad * 2 * 2))
-    kv_rows = min(tk_pad, (max_rows // block_k) * block_k)
-    tk_pad = ((tk_pad + kv_rows - 1) // kv_rows) * kv_rows
+    block_k = min(block_k or BLOCK_K, ((tk + 15) // 16) * 16)
+    kv_budget = kv_budget or 4 * 1024 * 1024
+    while True:
+        max_rows = max(block_k, kv_budget // (d_pad * 2 * 2))
+        kv_rows = min(((tk + block_k - 1) // block_k) * block_k,
+                      (max_rows // block_k) * block_k)
+        if _vmem_estimate(block_q, block_k, kv_rows, d_pad) <= _VMEM_BUDGET:
+            break
+        if kv_budget // (d_pad * 2 * 2) > block_k and kv_budget > 2**20:
+            kv_budget //= 2
+        elif block_q > BLOCK_Q:
+            block_q //= 2
+        elif block_k > 512:
+            block_k //= 2
+        else:
+            break
+    tq_pad = ((tq + block_q - 1) // block_q) * block_q
+    tk_pad = ((tk + kv_rows - 1) // kv_rows) * kv_rows
     num_kv_blocks = tk_pad // kv_rows
 
     qp = _pad_to(_pad_to(q, d_pad, 3), tq_pad, 2).reshape(b * h, tq_pad, d_pad)
     kp = _pad_to(_pad_to(k, d_pad, 3), tk_pad, 2).reshape(b * h, tk_pad, d_pad)
     vp = _pad_to(_pad_to(v, d_pad, 3), tk_pad, 2).reshape(b * h, tk_pad, d_pad)
+    # softmax denominator on the MXU: when D is lane-padded, the first
+    # padding column of V carries ones so p @ v accumulates the row-sum
+    # into acc[:, d] for free (padded KV rows are masked to p=0, and when
+    # unmasked there are no padded rows)
+    l_col = d if d < d_pad else None
+    if l_col is not None:
+        vp = vp.at[:, :, l_col].set(1.0)
     kernel = functools.partial(
         _flash_kernel, block_k=block_k, kv_valid=tk,
         chunks_per_block=kv_rows // block_k, kv_rows=kv_rows,
-        num_kv_blocks=num_kv_blocks, d_pad=d_pad)
+        num_kv_blocks=num_kv_blocks, l_col=l_col, exp_bf16=exp_bf16)
     grid = (b * h, tq_pad // block_q, num_kv_blocks)
     out = pl.pallas_call(
         kernel,
@@ -198,12 +257,20 @@ def _on_tpu() -> bool:
         return False
 
 
-# Sequence length above which the flash kernel takes over. Measured on
-# v5e-1: XLA's fused attention wins below this (flash pays head-dim lane
-# padding, e.g. d=40 -> 128), but XLA materializes the full [T,T] logits in
-# HBM and OOMs at SD2-768/SDXL sizes (f32[2,20,9216,9216] = 27 GB) where
-# flash runs in ~140 ms. 8192 covers exactly the sizes XLA can't.
-FLASH_MIN_SEQ = 8192
+# Flash dispatch thresholds, measured on v5e-1 (scripts/probe_dispatch.py,
+# round 4). Two regimes:
+#   * memory: XLA materializes the full [T,T] logits in HBM and OOMs at
+#     SD2-768/SDXL-hires sizes (f32[2,20,9216,9216] = 27 GB); flash is the
+#     only path at Tq >= 8192 regardless of head width.
+#   * throughput: at d >= 64 (lane padding <= 2x) flash beats XLA's fused
+#     attention at EVERY self-attn length >= 1024 — 3.8-4.7x at the
+#     SDXL-1024 level-1 shape (T=4096 d=64: 2.9 vs 10.9 ms at CFG b=2,
+#     8.4 vs 39.4 ms at b=8), ~15% at T=1024. At d=40 (3.2x padding) XLA
+#     keeps a slight edge (12.0 vs 12.7 ms at SD1.5's T=4096 b=16).
+# Cross-attention (Tk=77) stays on XLA: the logits tensor is tiny and XLA
+# wins or ties at every probed shape (2x at the SD1.5 serving shape).
+FLASH_MIN_SEQ = 8192      # memory bound: flash regardless of head width
+FLASH_MIN_SEQ_WIDE = 1024  # throughput bound: flash when d >= 64
 
 
 def attention(q, k, v, mask=None, scale: float | None = None,
@@ -215,13 +282,11 @@ def attention(q, k, v, mask=None, scale: float | None = None,
     """
     d = q.shape[-1]
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
-    # measured on v5e-1: XLA's fused attention tiles the softmax without
-    # materializing [T,T] logits up to T=4096 even at batch 32, and beats
-    # the flash kernel there (whose head-dim lane padding inflates FLOPs);
-    # flash takes over only where XLA's path genuinely OOMs (T>=8192)
+    tq, tk = q.shape[1], k.shape[1]
     use_flash = (impl == "flash" or
                  (impl == "auto" and mask is None and _on_tpu() and
-                  q.shape[1] >= FLASH_MIN_SEQ))
+                  min(tq, tk) >= FLASH_MIN_SEQ_WIDE and
+                  (tq >= FLASH_MIN_SEQ or d >= 64)))
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
