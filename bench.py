@@ -294,8 +294,9 @@ def phase_serving():
 def phase_sdxl():
     """Secondary metric (VERDICT r3 #2): SDXL-1024 20-step CFG end-to-end
     latency — the flagship BASELINE config-5 shape, exercising the flash
-    attention path (T=16384 level-0 self-attention). Random weights,
-    true architecture/shapes/dtype."""
+    attention path (largest self-attention T=4096, d=64 heads — the
+    d>=64 dispatch rule). Random weights, true architecture/shapes/
+    dtype."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
