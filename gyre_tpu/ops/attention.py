@@ -155,9 +155,9 @@ def _vmem_estimate(block_q, block_k, kv_rows, d_pad):
 
 @functools.partial(jax.jit, static_argnames=(
     "scale", "block_q", "block_k", "kv_budget", "exp_bf16"))
-def flash_attention_bhtd(q, k, v, scale: float, *, block_q: int = 0,
-                         block_k: int = 0, kv_budget: int = 0,
-                         exp_bf16: bool = False):
+def _flash_forward(q, k, v, scale: float, *, block_q: int = 0,
+                   block_k: int = 0, kv_budget: int = 0,
+                   exp_bf16: bool = False):
     """[B,H,Tq,D] x [B,H,Tk,D] -> [B,H,Tq,D] via the Pallas kernel.
 
     q is pre-multiplied by scale*log2(e) so the kernel's streaming
@@ -248,6 +248,80 @@ def flash_attention_bhtd(q, k, v, scale: float, *, block_q: int = 0,
     )(qp, kp, vp)
     out = out.reshape(b, h, tq_pad, d_pad)[:, :, :tq, :d]
     return out
+
+
+# -------------------------------------------------------------- grad path
+
+GRAD_BLOCK_Q = 512
+
+
+def chunked_attention_bhtd(q, k, v, scale: float,
+                           block_q: int = GRAD_BLOCK_Q):
+    """Differentiable memory-bounded attention, [B,H,T,D]: lax.map over
+    rematerialized q-blocks, so neither the forward trace nor autodiff
+    residuals ever hold the full [Tq, Tk] probability tensor — peak
+    extra memory is one [block_q, Tk] f32 tile per (batch, head).
+
+    This is the grad path behind flash_attention_bhtd's custom_vjp: the
+    TPU-native equivalent of the reference dropping to a grad-capable
+    SlicedAttnProcessor for CLIP guidance when xformers isn't reversible
+    (gyre/pipeline/unified_pipeline.py:1452-1517,
+    gyre/pipeline/xformers_utils.py:37-60)."""
+    b, h, tq, d = q.shape
+    block_q = min(block_q, tq)
+    tq_pad = ((tq + block_q - 1) // block_q) * block_q
+    qp = _pad_to(q, tq_pad, 2)
+    qb = jnp.moveaxis(
+        qp.reshape(b, h, tq_pad // block_q, block_q, d), 2, 0)
+
+    @jax.checkpoint
+    def blk(qi):
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qi, k,
+                            preferred_element_type=jnp.float32) * scale
+        probs = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32
+                          ).astype(q.dtype)
+
+    out = jnp.moveaxis(jax.lax.map(blk, qb), 0, 2)
+    return out.reshape(b, h, tq_pad, d)[:, :, :tq]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_diff(q, k, v, scale):
+    return _flash_forward(q, k, v, scale)
+
+
+def _flash_diff_fwd(q, k, v, scale):
+    return _flash_forward(q, k, v, scale), (q, k, v)
+
+
+def _flash_diff_bwd(scale, res, g):
+    # Pallas kernels have no autodiff; recompute block-wise through the
+    # chunked reference (same f32-softmax math) and take its VJP. CLIP
+    # guidance (pipeline/clip_guidance.py) is the only grad consumer —
+    # one extra chunked forward per guided step.
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: chunked_attention_bhtd(q_, k_, v_, scale),
+        q, k, v)
+    return vjp(g.astype(q.dtype))
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
+def flash_attention_bhtd(q, k, v, scale: float, *, block_q: int = 0,
+                         block_k: int = 0, kv_budget: int = 0,
+                         exp_bf16: bool = False):
+    """Flash attention, [B,H,Tq,D] — differentiable (custom_vjp with a
+    rematerialized chunked backward). Tuning overrides (profiling
+    scripts) bypass the vjp wrapper and are forward-only."""
+    if block_q or block_k or kv_budget or exp_bf16:
+        return _flash_forward(q, k, v, scale, block_q=block_q,
+                              block_k=block_k, kv_budget=kv_budget,
+                              exp_bf16=exp_bf16)
+    return _flash_diff(q, k, v, float(scale))
 
 
 def _on_tpu() -> bool:
