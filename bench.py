@@ -321,6 +321,11 @@ def phase_sdxl():
     t0 = time.perf_counter()
     np.asarray(pipe(seeds=[0], **kw))
     compile_s = time.perf_counter() - t0
+    # unmeasured warm run: on the axon remote client the first executions
+    # after compile pay a per-program warm-up (round-4 bench measured
+    # 13.1 s "warm" right after compile vs 4.3 s truly warm —
+    # scripts/profile_sdxl_parts.py); all phases measure steady-state
+    np.asarray(pipe(seeds=[9], **kw))
     lat = []
     for i in range(3):
         t0 = time.perf_counter()

@@ -254,6 +254,7 @@ class HttpHandler(BaseHTTPRequestHandler):
                     "interleaved_chunks": disp.interleaved_chunks,
                     "padded_rows": disp.padded_rows,
                     "dispatched": disp.dispatched[-50:],
+                    "watchdog": disp.watchdog_state(),
                 }
             return self._send_json({"engines": self.manager.status(),
                                     "dispatcher": dstats,

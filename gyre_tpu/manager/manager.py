@@ -85,7 +85,7 @@ class EngineManager:
     def __init__(self, engine_specs: list[dict] | list[EngineSpec],
                  mesh=None, compute_dtype=jnp.bfloat16, batch_max: int = 4,
                  weight_resolver=None, interleave: int = 2,
-                 gather_ms: float = 10.0):
+                 gather_ms: float = 10.0, watchdog_s: float = 900.0):
         entries = [s for s in engine_specs if isinstance(s, dict)]
         hintset_entries = [e for e in entries if "hintset_id" in e]
         # model_id entries: the shared model registry "@ref"s resolve
@@ -138,7 +138,8 @@ class EngineManager:
         # double-size program — a minutes-scale compile stall)
         self.dispatcher = CoalescingDispatcher(max_batch=max(batch_max, 1),
                                                interleave=interleave,
-                                               gather_ms=gather_ms)
+                                               gather_ms=gather_ms,
+                                               watchdog_s=watchdog_s)
 
     # ------------------------------------------------------------ loading
 

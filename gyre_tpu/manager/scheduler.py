@@ -39,6 +39,7 @@ merged into ONE batch:
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import queue
 import threading
@@ -49,6 +50,27 @@ from dataclasses import dataclass, field
 import numpy as np
 
 logger = logging.getLogger(__name__)
+
+
+class DeviceWedgedError(RuntimeError):
+    """The device watchdog tripped: a single device operation has been in
+    flight longer than the threshold. A wedged accelerator (or a wedged
+    remote-device tunnel — the exact failure that silently consumed a
+    whole benchmarking session, PERFORMANCE.md round-3 caveat) hangs the
+    dispatcher thread inside one XLA call; nothing recovers it from user
+    space. The watchdog turns that into fast, visible failure: queued and
+    future requests get UNAVAILABLE instead of hanging to their own RPC
+    deadlines, and /status reports the wedge."""
+
+
+def _resolve(future: Future, value):
+    """set_result tolerating a future the watchdog already failed (the
+    op completed after the trip — clients were told UNAVAILABLE; the
+    late result is dropped rather than crashing the dispatcher)."""
+    try:
+        future.set_result(value)
+    except Exception:  # noqa: BLE001 — InvalidStateError
+        pass
 
 
 class CombinedEvent:
@@ -117,17 +139,34 @@ class _Batch:
 
 class CoalescingDispatcher:
     def __init__(self, max_batch: int = 8, gather_ms: float = 10.0,
-                 interleave: int = 2, bucket: bool = True):
+                 interleave: int = 2, bucket: bool = True,
+                 watchdog_s: float = 900.0):
         self.max_batch = max_batch
         self.gather_ms = gather_ms
         self.interleave = max(1, int(interleave))
         self.bucket = bucket
+        # watchdog: a device op (one chunk dispatch / result transfer)
+        # in flight longer than this marks the device wedged. Generous
+        # by default — a cold XLA serving-program compile on the remote
+        # platform is minutes — and 0 disables. A real wedge hangs for
+        # hours (round-3 incident), so 15 min separates the two cleanly.
+        self.watchdog_s = float(watchdog_s)
+        self.wedged = False
+        self.wedged_op = ""
+        self._op_started: float | None = None
+        self._op_desc = ""
         self._q: queue.Queue[Job] = queue.Queue()
         self._thread = threading.Thread(target=self._run, daemon=True)
+        self._watch_thread = threading.Thread(target=self._watch,
+                                              daemon=True)
         self._stop = threading.Event()
         self._started = False
         self._pending: list[_Batch] = []
         self._active: list[_Batch] = []
+        # the batch currently inside a blocking _start/_finish call: it
+        # is in neither _pending nor _active, but the watchdog must be
+        # able to fail it (it is exactly the one a wedge traps)
+        self._executing: _Batch | None = None
         # observability: batch sizes actually dispatched (requests, rows)
         self.dispatched: list[tuple[int, int]] = []
         self.coalesced_requests = 0
@@ -142,6 +181,8 @@ class CoalescingDispatcher:
         if not self._started:
             self._started = True
             self._thread.start()
+            if self.watchdog_s > 0:
+                self._watch_thread.start()
         return self
 
     def stop(self):
@@ -152,6 +193,11 @@ class CoalescingDispatcher:
             -> Future:
         self.start()
         job = Job(pipe, kwargs, stop_event=stop_event, solo=solo)
+        if self.wedged:
+            job.future.set_exception(DeviceWedgedError(
+                f"device watchdog tripped: {self.wedged_op} exceeded "
+                f"{self.watchdog_s:.0f}s; refusing new work"))
+            return job.future
         if threading.current_thread() is self._thread:
             # re-entrant submit from a dispatcher-executed job: run
             # inline (we ARE the device thread) — queueing + waiting on
@@ -163,6 +209,73 @@ class CoalescingDispatcher:
             return job.future
         self._q.put(job)
         return job.future
+
+    # ------------------------------------------------------------ watchdog
+
+    @contextlib.contextmanager
+    def _device_op(self, desc: str):
+        """Marks a section of dispatcher-thread code that blocks on the
+        device (chunk dispatch, result transfer, blocking pipeline call).
+        The watchdog thread reads _op_started to detect a hang."""
+        self._op_desc = desc
+        self._op_started = time.monotonic()
+        try:
+            yield
+        finally:
+            self._op_started = None
+
+    def watchdog_state(self) -> dict:
+        now = time.monotonic()
+        started = self._op_started
+        return {
+            "wedged": self.wedged,
+            "wedged_op": self.wedged_op,
+            "threshold_s": self.watchdog_s,
+            "op_in_flight_s": round(now - started, 1) if started else 0.0,
+            "op": self._op_desc if started else "",
+        }
+
+    def _watch(self):
+        interval = min(max(self.watchdog_s / 10.0, 1.0), 10.0)
+        while not self._stop.is_set():
+            time.sleep(interval)
+            started = self._op_started
+            if self.wedged or started is None:
+                continue
+            overdue = time.monotonic() - started - self.watchdog_s
+            if overdue > 0:
+                self._trip(f"{self._op_desc} (in flight "
+                           f"{self.watchdog_s + overdue:.0f}s)")
+
+    def _trip(self, op: str):
+        """Terminal: the dispatcher thread is stuck inside an XLA call we
+        cannot interrupt. Fail everything waiting so clients see
+        UNAVAILABLE now instead of hanging to their RPC deadlines. The
+        pending/active lists normally belong to the dispatcher thread —
+        it is wedged, so touching them here is safe; set_exception guards
+        against the (unlikely) unwedge race."""
+        self.wedged = True
+        self.wedged_op = op
+        logger.error("DEVICE WATCHDOG TRIPPED: %s — failing queued work, "
+                     "refusing new work; /status reports wedged", op)
+        exc = DeviceWedgedError(f"device watchdog tripped: {op}")
+        while True:
+            try:
+                job = self._q.get(block=False)
+            except queue.Empty:
+                break
+            if job is not None:
+                try:
+                    job.future.set_exception(exc)
+                except Exception:  # noqa: BLE001 — already resolved
+                    pass
+        execing = [self._executing] if self._executing is not None else []
+        for b in list(self._pending) + list(self._active) + execing:
+            for j in b.jobs:
+                try:
+                    j.future.set_exception(exc)
+                except Exception:  # noqa: BLE001
+                    pass
 
     # ------------------------------------------------------------ internal
 
@@ -255,6 +368,7 @@ class CoalescingDispatcher:
             return
         b.jobs = live
         b.counts = [j.rows() for j in live]
+        self._executing = b
 
         pipe = live[0].pipe
         if len(live) == 1:
@@ -288,11 +402,13 @@ class CoalescingDispatcher:
         begin = getattr(pipe, "begin", None)
         if begin is not None:
             try:
-                b.gen = begin(**merged)
+                with self._device_op("pipeline begin"):
+                    b.gen = begin(**merged)
             except Exception as e:  # noqa: BLE001
                 self._fail(b, e)
                 return
             self._active.append(b)
+            self._executing = None
             return
         # no stepper (task pipelines / plain callables): run blocking
         self._finish(b, lambda: pipe(**merged))
@@ -344,7 +460,8 @@ class CoalescingDispatcher:
         at chunk granularity)."""
         for b in list(self._active):
             try:
-                next(b.gen)
+                with self._device_op("chunk dispatch"):
+                    next(b.gen)
                 self.interleaved_chunks += len(self._active) > 1
             except StopIteration as e:
                 self._active.remove(b)
@@ -354,16 +471,25 @@ class CoalescingDispatcher:
                 self._fail(b, e)
 
     def _finish(self, b: _Batch, result_fn):
+        self._executing = b
         try:
-            result = result_fn()
-            # materialize HERE: device work (including the d2h transfer)
-            # must stay on this thread. Handing a lazy jax array to a gRPC
-            # thread makes that thread sync with the device, and the
-            # experimental axon remote client wedges under cross-thread
-            # sync (first-request hang). Non-array results (e.g. adapted
-            # pipeline objects from solo jobs) pass through untouched.
-            if result is not None and hasattr(result, "shape"):
-                result = np.asarray(result)
+            self._finish_inner(b, result_fn)
+        finally:
+            self._executing = None
+
+    def _finish_inner(self, b: _Batch, result_fn):
+        try:
+            with self._device_op("batch execute + transfer"):
+                result = result_fn()
+                # materialize HERE: device work (including the d2h
+                # transfer) must stay on this thread. Handing a lazy jax
+                # array to a gRPC thread makes that thread sync with the
+                # device, and the experimental axon remote client wedges
+                # under cross-thread sync (first-request hang). Non-array
+                # results (e.g. adapted pipeline objects from solo jobs)
+                # pass through untouched.
+                if result is not None and hasattr(result, "shape"):
+                    result = np.asarray(result)
         except Exception as e:  # noqa: BLE001
             self._fail(b, e)
             return
@@ -374,24 +500,31 @@ class CoalescingDispatcher:
             self.coalesced_requests += len(b.jobs)
         if result is None or len(b.jobs) == 1:
             for j in b.jobs:
-                j.future.set_result(result)
+                _resolve(j.future, result)
             return
         off = 0
         for j, n in zip(b.jobs, b.counts):
-            j.future.set_result(result[off:off + n])
+            _resolve(j.future, result[off:off + n])
             off += n
 
     def _fail(self, b: _Batch, exc: Exception):
         if len(b.jobs) == 1:
-            b.jobs[0].future.set_exception(exc)
+            try:
+                b.jobs[0].future.set_exception(exc)
+            except Exception:  # noqa: BLE001 — watchdog beat us to it
+                pass
             return
         logger.exception("coalesced batch failed; falling back to solo",
                          exc_info=exc)
         for j in b.jobs:
             try:
-                solo = j.pipe(**j.kwargs)
-                if solo is not None:
-                    solo = np.asarray(solo)
-                j.future.set_result(solo)
+                with self._device_op("solo fallback"):
+                    solo = j.pipe(**j.kwargs)
+                    if solo is not None:
+                        solo = np.asarray(solo)
+                _resolve(j.future, solo)
             except Exception as e2:  # noqa: BLE001
-                j.future.set_exception(e2)
+                try:
+                    j.future.set_exception(e2)
+                except Exception:  # noqa: BLE001
+                    pass

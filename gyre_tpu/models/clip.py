@@ -196,6 +196,10 @@ def hidden_for_layer(params, cfg, out: dict, clip_layer: int) -> jax.Array:
     transformers' hidden_states[-2] + final_layer_norm)."""
     if clip_layer == -1:
         return out["last"]
+    if not -cfg.num_layers <= clip_layer < 0:
+        raise ValueError(
+            f"clip_layer {clip_layer} out of range for a {cfg.num_layers}-"
+            f"layer tower (expected -1..-{cfg.num_layers})")
     h = out["hidden_states"][clip_layer + cfg.num_layers]
     if clip_layer < -1:
         h = h  # raw block output; SD2 applies final LN after selecting

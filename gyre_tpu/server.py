@@ -73,6 +73,12 @@ def parse_args(argv=None):
                           "round-robins at chunk granularity (prevents a "
                           "long request head-of-line-blocking short ones; "
                           "1 = serial)")
+    gen.add_argument("--watchdog", type=float,
+                     default=float(os.environ.get("SD_WATCHDOG", "900")),
+                     help="seconds a single device op may stay in flight "
+                          "before the dispatcher declares the device "
+                          "wedged (fails queued work with UNAVAILABLE, "
+                          "reports in /status); 0 disables")
     gen.add_argument("--gather_ms", type=float,
                      default=float(os.environ.get("SD_GATHER_MS", "10")),
                      help="coalescer gather window after the first queued "
@@ -274,7 +280,8 @@ def build_manager(args):
                          batch_max=batch_max,
                          weight_resolver=resolver,
                          interleave=int(args.interleave),
-                         gather_ms=float(args.gather_ms))
+                         gather_ms=float(args.gather_ms),
+                         watchdog_s=float(args.watchdog))
 
 
 class TokenAuthInterceptor:

@@ -17,7 +17,10 @@ class CacheKeyError(KeyError):
     """Raised when a request references a cache id we no longer hold."""
 
 
+from ..manager.scheduler import DeviceWedgedError
+
 DEFAULT_MAP = {
+    DeviceWedgedError: grpc.StatusCode.UNAVAILABLE,
     NotImplementedError: grpc.StatusCode.UNIMPLEMENTED,
     KeyError: grpc.StatusCode.NOT_FOUND,
     CacheKeyError: lambda e: (grpc.StatusCode.FAILED_PRECONDITION,

@@ -84,6 +84,10 @@ def test_status(base_url):
     # weight provenance is always reported (real|random|pending) so a
     # random-init fallback is never silent
     assert doc["engines"][0]["weights"] in ("real", "random", "pending")
+    # device-watchdog state is always visible once the dispatcher ran
+    if doc.get("dispatcher"):
+        wd = doc["dispatcher"]["watchdog"]
+        assert wd["wedged"] is False and wd["threshold_s"] > 0
 
 
 def test_rest_engines_list(base_url):

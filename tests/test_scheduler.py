@@ -237,3 +237,62 @@ def test_mixed_prompts_per_row(pipe):
                           guidance_scale=[7.5, 7.5], **KW))
     # same seed, different prompt -> different images
     assert np.abs(out[0] - out[1]).max() > 1e-4
+
+
+class _HangingPipe:
+    """Simulates a wedged device: the first call blocks until released.
+    No `begin` attr -> dispatcher's blocking path, which is where a
+    wedged XLA call traps the dispatcher thread."""
+
+    def __init__(self):
+        self.release = threading.Event()
+        self.entered = threading.Event()
+
+    def __call__(self, **kw):
+        self.entered.set()
+        self.release.wait(timeout=60)
+        seeds = kw.get("seeds") or [0]
+        return np.asarray(seeds, np.float32).reshape(-1, 1)
+
+
+def test_watchdog_trips_on_hung_device_op():
+    """A device op exceeding watchdog_s must mark the dispatcher wedged,
+    fail the hung job and queued jobs with DeviceWedgedError, and refuse
+    new submissions fast — round 3 lost a whole benchmarking session to
+    exactly this hang presenting as silent client timeouts."""
+    from gyre_tpu.manager.scheduler import DeviceWedgedError
+
+    pipe = _HangingPipe()
+    d = CoalescingDispatcher(max_batch=4, gather_ms=1.0, watchdog_s=0.3)
+    hung = d.submit(pipe, dict(prompt="a", seeds=[1]), solo=True)
+    assert pipe.entered.wait(timeout=10)
+    queued = d.submit(pipe, dict(prompt="b", seeds=[2]), solo=True)
+    with pytest.raises(DeviceWedgedError):
+        hung.result(timeout=30)
+    with pytest.raises(DeviceWedgedError):
+        queued.result(timeout=30)
+    assert d.wedged
+    st = d.watchdog_state()
+    assert st["wedged"] and st["threshold_s"] == 0.3
+    # new work is refused immediately, not queued behind the wedge
+    t0 = time.monotonic()
+    late = d.submit(pipe, dict(prompt="c", seeds=[3]))
+    with pytest.raises(DeviceWedgedError):
+        late.result(timeout=5)
+    assert time.monotonic() - t0 < 2.0
+    # the op completing after the trip must not crash the dispatcher
+    pipe.release.set()
+    d.stop()
+
+
+def test_watchdog_quiet_on_healthy_ops():
+    pipe = _FakePipe()
+    d = CoalescingDispatcher(max_batch=4, gather_ms=1.0, watchdog_s=5.0)
+    out = d.submit(pipe, dict(prompt="a", seeds=[1])).result(timeout=30)
+    time.sleep(1.2)  # > watch interval; no op in flight
+    assert not d.wedged
+    assert out.shape == (1, 1)
+    st = d.watchdog_state()
+    assert st == {"wedged": False, "wedged_op": "", "threshold_s": 5.0,
+                  "op_in_flight_s": 0.0, "op": ""}
+    d.stop()
