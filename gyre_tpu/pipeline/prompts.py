@@ -146,6 +146,19 @@ def stitch_weights(weights: np.ndarray) -> np.ndarray:
         [weights[0, :1], weights[:, 1:-1].reshape(-1), weights[-1, -1:]])
 
 
+def _pad_chunks(tokenizer, ids: np.ndarray, w: np.ndarray,
+                to_chunks: int) -> tuple[np.ndarray, np.ndarray]:
+    """Pad (ids, weights) with empty bos/eos chunks up to `to_chunks`."""
+    extra = to_chunks - ids.shape[0]
+    if extra <= 0:
+        return ids, w
+    pad_ids = np.full((extra, CHUNK + 2), tokenizer.pad, np.int32)
+    pad_ids[:, 0] = tokenizer.bos
+    pad_ids[:, 1] = tokenizer.eos
+    return (np.concatenate([ids, pad_ids]),
+            np.concatenate([w, np.ones((extra, CHUNK + 2), np.float32)]))
+
+
 def encode_weighted_prompt(encode_ids, tokenizer, prompt: WeightedPrompt,
                            max_chunks: int = 3, pad_to_chunks: int = 0):
     """Full path: parse -> tokenize -> chunked encode -> stitch -> weight.
@@ -155,13 +168,49 @@ def encode_weighted_prompt(encode_ids, tokenizer, prompt: WeightedPrompt,
     Returns [T, D] with T = chunks*75 + 2.
     """
     ids, w, n = tokenize_weighted(tokenizer, prompt, max_chunks)
-    if pad_to_chunks and pad_to_chunks > n:
-        extra = pad_to_chunks - n
-        pad_ids = np.full((extra, CHUNK + 2), tokenizer.pad, np.int32)
-        pad_ids[:, 0] = tokenizer.bos
-        pad_ids[:, 1] = tokenizer.eos
-        ids = np.concatenate([ids, pad_ids])
-        w = np.concatenate([w, np.ones((extra, CHUNK + 2), np.float32)])
+    if pad_to_chunks:
+        ids, w = _pad_chunks(tokenizer, ids, w, pad_to_chunks)
     emb = encode_ids(jnp.asarray(ids))
     emb = stitch_chunks(emb)
     return apply_weights(emb, jnp.asarray(stitch_weights(w)))
+
+
+def encode_weighted_prompts_batch(encode_ids, tokenizer,
+                                  prompt_list, pad_to_chunks: int = 1,
+                                  max_chunks: int = 3) -> jnp.ndarray:
+    """Batch variant of encode_weighted_prompt: every prompt padded to
+    the same chunk count and encoded through ONE tower dispatch.
+
+    The request coalescer merges up to max_batch requests with distinct
+    prompts+negatives into one device batch; encoding each separately is
+    2B small CLIP programs on the serving path (per-dispatch tunnel
+    latency dominates their device time). The CLIP tower is
+    batch-independent (per-token layernorm, per-row causal attention),
+    so one [B*chunks, 77] call with vectorized stitch/weighting returns
+    exactly the per-sample results. Returns [B, T, D], T = chunks*75+2.
+    """
+    chunks = max(int(pad_to_chunks), 1)
+    ids_l, w_l = [], []
+    for p in prompt_list:
+        ids, w, n = tokenize_weighted(tokenizer, p, max_chunks)
+        if n > chunks:
+            raise ValueError(f"prompt needs {n} chunks > pad_to_chunks="
+                             f"{chunks}; compute chunk_count over the "
+                             f"whole batch first")
+        ids, w = _pad_chunks(tokenizer, ids, w, chunks)
+        ids_l.append(ids)
+        w_l.append(stitch_weights(w))
+    b = len(prompt_list)
+    emb = encode_ids(jnp.asarray(np.concatenate(ids_l)))  # [b*chunks,77,D]
+    d = emb.shape[-1]
+    emb = emb.reshape(b, chunks, CHUNK + 2, d)
+    middle = emb[:, :, 1:-1].reshape(b, chunks * CHUNK, d)
+    stitched = jnp.concatenate([emb[:, 0, :1], middle, emb[:, -1, -1:]],
+                               axis=1)                    # [b, T, D]
+    w = jnp.asarray(np.stack(w_l))                        # [b, T]
+    prev = jnp.mean(jnp.abs(stitched).astype(jnp.float32), axis=(1, 2),
+                    keepdims=True)
+    out = stitched * w[:, :, None].astype(stitched.dtype)
+    new = jnp.mean(jnp.abs(out).astype(jnp.float32), axis=(1, 2),
+                   keepdims=True)
+    return out * (prev / jnp.maximum(new, 1e-8)).astype(out.dtype)

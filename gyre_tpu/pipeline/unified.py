@@ -150,15 +150,22 @@ class UnifiedPipeline:
         self.clip_vision()  # ensures towers are loaded
         ids, _, _ = prompts.tokenize_weighted(
             self.ms.tokenizer, prompts.WeightedPrompt.parse(text or ""))
-        if self._clip_text is not None:
-            out = clip_mod.apply(self._clip_text, self._clip_text_cfg,
-                                 jnp.asarray(ids[:1]))
-        else:
-            out = clip_mod.apply(self.ms.text_params[0],
-                                 self.ms.config.text_encoders[0],
-                                 jnp.asarray(ids[:1]))
-        pooled = out["pooled"].astype(jnp.float32)
-        pooled = pooled / jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+        use_clip = self._clip_text is not None
+        cfg = (self._clip_text_cfg if use_clip
+               else self.ms.config.text_encoders[0])
+        key = ("clip_text_target", use_clip)
+        if key not in self._fn_cache:
+
+            @jax.jit
+            def run(params, ids):
+                pooled = clip_mod.apply(params, cfg,
+                                        ids)["pooled"].astype(jnp.float32)
+                return pooled / jnp.linalg.norm(pooled, axis=-1,
+                                                keepdims=True)
+
+            self._fn_cache[key] = run
+        params = self._clip_text if use_clip else self.ms.text_params[0]
+        pooled = self._fn_cache[key](params, jnp.asarray(ids[:1]))
         return jnp.tile(pooled, (batch, 1))
 
     # ------------------------------------------------------------- helpers
@@ -210,18 +217,51 @@ class UnifiedPipeline:
             self._encode_ids_fn(tower_idx, layer), self.ms.tokenizer, prompt,
             pad_to_chunks=pad_to_chunks)
 
-    def encode_pooled(self, text: str) -> jnp.ndarray:
-        """Pooled embedding from the last tower (SDXL's text_embeds
-        conditioning comes from the bigG tower)."""
-        from ..models import clip as clip_mod
+    def encode_prompt_list(self, texts, pad_to_chunks: int,
+                           clip_layer: int | None = None) -> jnp.ndarray:
+        """Batched multi-prompt context [B, T, D]: coalesced requests
+        encode all their (distinct) prompts through one tower dispatch
+        per tower instead of one small program per sample — 2B CLIP
+        dispatches collapse to n_towers on the serving path."""
+        layer = (clip_layer if clip_layer is not None
+                 else self.ms.config.clip_layer)
+        parsed = [prompts.WeightedPrompt.parse(t or "") for t in texts]
+        n_tow = len(self.ms.config.text_encoders)
+        parts = [prompts.encode_weighted_prompts_batch(
+            self._encode_ids_fn(i, layer), self.ms.tokenizer, parsed,
+            pad_to_chunks=pad_to_chunks) for i in range(n_tow)]
+        return jnp.concatenate(parts, axis=-1) if n_tow > 1 else parts[0]
 
-        idx = len(self.ms.config.text_encoders) - 1
-        te_cfg = self.ms.config.text_encoders[idx]
-        ids, _, _ = prompts.tokenize_weighted(
-            self.ms.tokenizer, prompts.WeightedPrompt.parse(text or ""))
-        out = clip_mod.apply(self.ms.text_params[idx], te_cfg,
-                             jnp.asarray(ids[:1]))
-        return out["pooled"]
+    def _pooled_fn(self):
+        """Jitted pooled-output tower (compiled once per ids batch
+        shape). The eager per-op alternative costs ~1 s of per-request
+        setup on the remote platform for the SDXL bigG tower."""
+        key = ("encode_pooled_fn",)
+        if key not in self._fn_cache:
+            idx = len(self.ms.config.text_encoders) - 1
+            te_cfg = self.ms.config.text_encoders[idx]
+
+            @jax.jit
+            def run(params, ids):
+                return clip_mod.apply(params, te_cfg, ids)["pooled"]
+
+            self._fn_cache[key] = (idx, run)
+        idx, run = self._fn_cache[key]
+        return lambda ids: run(self.ms.text_params[idx], ids)
+
+    def encode_pooled_batch(self, texts) -> jnp.ndarray:
+        """[B, D] pooled embeddings from the last tower (SDXL's
+        text_embeds conditioning comes from the bigG tower), one jitted
+        dispatch for the whole list — coalesced batches carry per-sample
+        prompts, and positives+negatives ride the same program."""
+        ids = np.stack([prompts.tokenize_weighted(
+            self.ms.tokenizer, prompts.WeightedPrompt.parse(t or ""))[0][0]
+            for t in texts])
+        return self._pooled_fn()(jnp.asarray(ids))
+
+    def encode_pooled(self, text: str) -> jnp.ndarray:
+        """Pooled embedding [1, D] from the last tower."""
+        return self.encode_pooled_batch([text])
 
     def chunk_count(self, *prompt_texts: str) -> int:
         n = 1
@@ -683,18 +723,14 @@ class UnifiedPipeline:
         if prompt_list is not None:
             chunks = self.chunk_count(*(list(prompt_list) +
                                         list(neg_list or [])))
-            ctx_g = jnp.stack([
-                self.encode_prompt(prompts.WeightedPrompt.parse(t or ""),
-                                   pad_to_chunks=chunks, clip_layer=layer)
-                for t in prompt_list])
             if guided:
                 negs = neg_list or [""] * batch
-                ctx_u = jnp.stack([
-                    self.encode_prompt(
-                        prompts.WeightedPrompt.parse(t or ""),
-                        pad_to_chunks=chunks, clip_layer=layer)
-                    for t in negs])
+                enc = self.encode_prompt_list(
+                    list(prompt_list) + list(negs), chunks, clip_layer=layer)
+                ctx_g, ctx_u = enc[:batch], enc[batch:]
             else:
+                ctx_g = self.encode_prompt_list(list(prompt_list), chunks,
+                                                clip_layer=layer)
                 ctx_u = ctx_g
         else:
             chunks = self.chunk_count(prompt, negative_prompt or "")
@@ -914,12 +950,24 @@ class UnifiedPipeline:
                     jnp.float32)[:, :n_ids]
             tids_g = jnp.tile(tids_g, (batch, 1))
             tids_u = jnp.tile(tids_u, (batch, 1))
-            gp = prompt_list[0] if prompt_list else (prompt or "")
-            gn = (neg_list[0] if neg_list else negative_prompt) or ""
-            pooled_g = jnp.tile(self.encode_pooled(gp), (batch, 1))
+            # per-sample pooled embeddings (coalesced batches carry
+            # distinct prompts); positives + negatives in ONE dispatch
+            gps = ([t or "" for t in prompt_list]
+                   if prompt_list is not None else [prompt or ""])
+            gns = []
+            if guided:
+                gns = ([t or "" for t in neg_list] if neg_list is not None
+                       else [negative_prompt or ""] * len(gps))
+            pooled_all = self.encode_pooled_batch(gps + gns)
+            pg = pooled_all[:len(gps)]
+            pooled_g = pg if len(gps) == batch else jnp.tile(pg, (batch, 1))
             added_g = {"text_embeds": pooled_g, "time_ids": tids_g}
-            pooled_u = jnp.tile(self.encode_pooled(gn), (batch, 1)) \
-                if guided else pooled_g
+            if guided:
+                pu = pooled_all[len(gps):]
+                pooled_u = (pu if len(gns) == batch
+                            else jnp.tile(pu, (batch, 1)))
+            else:
+                pooled_u = pooled_g
             added_u = {"text_embeds": pooled_u, "time_ids": tids_u}
 
         core_kwargs = dict(

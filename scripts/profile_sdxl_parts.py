@@ -26,6 +26,9 @@ from gyre_tpu.pipeline.unified import UnifiedPipeline
 
 def timeit(label, fn, n=3):
     fn()  # warm / compile
+    fn()  # second warm: axon pays a per-program warm-up on the first
+    #       post-compile execution (measured 13.1 s "warm" vs 4.3 s
+    #       truly warm on the full pipeline); time steady-state only
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn()
@@ -76,6 +79,7 @@ def chunks_only():
 
 
 marks = chunks_only()  # compile-warm already from full call
+marks = chunks_only()
 marks = chunks_only()
 deltas = [round(b - a, 3) for a, b in zip(marks, marks[1:])]
 print(json.dumps({"part": "begin() chunk walls (setup, chunk1, chunk2, "

@@ -85,3 +85,34 @@ def test_encode_weighted_prompt_end_to_end():
     assert emb.shape == (77, 8)
     emb2 = P.encode_weighted_prompt(encode_ids, tok, prompt, pad_to_chunks=2)
     assert emb2.shape == (152, 8)
+
+
+def test_batch_encode_matches_per_sample():
+    """The coalesced-batch path (one tower dispatch for all merged
+    prompts) must return exactly what per-sample encodes return."""
+    tok = FallbackTokenizer()
+    calls = []
+
+    def encode_ids(ids):
+        calls.append(np.asarray(ids).shape)
+        return jnp.asarray(ids)[:, :, None] * jnp.ones((1, 1, 8))
+
+    texts = ["a (big:1.3) test", "", "another prompt entirely",
+             " ".join(f"w{i}" for i in range(120))]
+    parsed = [P.WeightedPrompt.parse(t) for t in texts]
+    chunks = max(P.tokenize_weighted(tok, p)[2] for p in parsed)
+    singles = np.stack([np.asarray(P.encode_weighted_prompt(
+        encode_ids, tok, p, pad_to_chunks=chunks)) for p in parsed])
+    calls.clear()
+    batched = np.asarray(P.encode_weighted_prompts_batch(
+        encode_ids, tok, parsed, pad_to_chunks=chunks))
+    assert len(calls) == 1 and calls[0] == (len(texts) * chunks, 77)
+    np.testing.assert_allclose(batched, singles, rtol=1e-6, atol=1e-6)
+
+
+def test_batch_encode_rejects_undersized_pad():
+    tok = FallbackTokenizer()
+    long = P.WeightedPrompt.parse(" ".join(f"w{i}" for i in range(120)))
+    with pytest.raises(ValueError, match="chunk_count"):
+        P.encode_weighted_prompts_batch(lambda i: jnp.zeros((1, 77, 8)),
+                                        tok, [long], pad_to_chunks=1)
