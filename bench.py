@@ -351,6 +351,55 @@ def phase_warmboot():
                       "warm_first_image_s": round(warm, 2)}))
 
 
+def _preflight() -> tuple[bool, str]:
+    """Fast device check with retry + diagnosis: a wedged tunnel/device
+    hangs every phase for its full timeout, and (the round-4 failure) a
+    leftover process holding the single-tenant chip starves initialization
+    indefinitely. Detect both in minutes, kill stale holders between
+    attempts, and say WHICH failure it was in the error JSON."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+
+    def holders():
+        try:
+            sys.path.insert(0, os.path.join(repo, "scripts"))
+            from free_device import find_holders
+            return find_holders()
+        except Exception:  # noqa: BLE001
+            return []
+
+    last_err = ""
+    for attempt in range(3):
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; "
+                 "print(float(jnp.ones((4, 4)).sum()))"],
+                capture_output=True, timeout=240, check=True, cwd=repo)
+            return True, ""
+        except subprocess.TimeoutExpired:
+            last_err = "device preflight timed out (240s)"
+        except subprocess.CalledProcessError as e:
+            last_err = ("device preflight crashed: "
+                        + (e.stderr or b"").decode("utf-8", "replace")[-200:])
+        held = holders()
+        if held:
+            # single-tenant chip held by a stale process (the exact
+            # round-4 failure): kill it by exact PID and retry
+            last_err += ("; device held by stale process(es): "
+                         + ", ".join(f"pid {h['pid']} age {h['age_s']:.0f}s"
+                                     f" [{h['cmd'][:80]}]" for h in held))
+            subprocess.run(
+                [sys.executable, os.path.join(repo, "scripts",
+                                              "free_device.py"), "--kill"],
+                capture_output=True, timeout=60)
+        if attempt < 2:
+            time.sleep(30 * (attempt + 1))  # tunnel recovery backoff
+    held = holders()
+    verdict = ("chip held by another process"
+               if held else "device/tunnel unresponsive (no holder found)")
+    return False, f"{verdict}: {last_err}"[:400]
+
+
 def _run_phase(name: str, timeout: int) -> dict:
     r = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--phase", name],
@@ -382,18 +431,9 @@ def main():
         "metric": "images/sec/chip (SD1.5 512^2, 20-step DPM++2M, CFG)",
         "unit": "images/sec",
     }
-    # fast preflight: a wedged tunnel/device hangs every phase for its
-    # full timeout; detect it in minutes and still emit a JSON line
-    try:
-        subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp; print(float(jnp.ones((4, 4))"
-             ".sum()))"],
-            capture_output=True, timeout=240, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
-    except Exception as e:  # noqa: BLE001
-        result.update(value=0.0, vs_baseline=0.0,
-                      error=f"device preflight failed: {e}"[:200])
+    ok, diag = _preflight()
+    if not ok:
+        result.update(value=0.0, vs_baseline=0.0, error=diag)
         print(json.dumps(result))
         return
     try:

@@ -153,8 +153,11 @@ class CoalescingDispatcher:
         self.watchdog_s = float(watchdog_s)
         self.wedged = False
         self.wedged_op = ""
-        self._op_started: float | None = None
-        self._op_desc = ""
+        self.unwedged_count = 0      # false trips recovered from
+        # (desc, started) snapshot — written/cleared together so readers
+        # never see a desc from one op and a start time from another
+        self._op: tuple[str, float] | None = None
+        self._ops_completed = 0
         self._q: queue.Queue[Job] = queue.Queue()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._watch_thread = threading.Thread(target=self._watch,
@@ -216,44 +219,91 @@ class CoalescingDispatcher:
     def _device_op(self, desc: str):
         """Marks a section of dispatcher-thread code that blocks on the
         device (chunk dispatch, result transfer, blocking pipeline call).
-        The watchdog thread reads _op_started to detect a hang."""
-        self._op_desc = desc
-        self._op_started = time.monotonic()
+        The watchdog thread reads _op to detect a hang."""
+        self._op = (desc, time.monotonic())
         try:
             yield
         finally:
-            self._op_started = None
+            self._op = None
+            self._ops_completed += 1
+            if self.wedged:
+                # the op the watchdog tripped on actually completed: the
+                # device is alive, the trip was a false positive (e.g. a
+                # legitimately long first compile). Clients already got
+                # UNAVAILABLE for the queued work — recover and accept
+                # new work instead of staying dead until restart.
+                self.wedged = False
+                self.unwedged_count += 1
+                logger.warning(
+                    "device watchdog recovery: %s completed after the "
+                    "trip — un-wedging, accepting work again",
+                    self.wedged_op)
+
+    def _threshold(self) -> float:
+        """First device op gets 3x headroom: a cold XLA serving-program
+        compile (minutes on the remote platform) is the one legitimate
+        op that can approach the threshold; a real wedge hangs for
+        hours either way."""
+        return self.watchdog_s * (3.0 if self._ops_completed == 0 else 1.0)
 
     def watchdog_state(self) -> dict:
-        now = time.monotonic()
-        started = self._op_started
+        op = self._op
+        desc, started = op if op is not None else ("", None)
+        in_flight = max(0.0, time.monotonic() - started) if started else 0.0
         return {
             "wedged": self.wedged,
             "wedged_op": self.wedged_op,
+            "unwedged_count": self.unwedged_count,
             "threshold_s": self.watchdog_s,
-            "op_in_flight_s": round(now - started, 1) if started else 0.0,
-            "op": self._op_desc if started else "",
+            "op_in_flight_s": round(in_flight, 1),
+            "op": desc,
         }
 
     def _watch(self):
         interval = min(max(self.watchdog_s / 10.0, 1.0), 10.0)
         while not self._stop.is_set():
             time.sleep(interval)
-            started = self._op_started
-            if self.wedged or started is None:
+            if self.wedged:
+                # dispatcher thread is stuck inside the wedged op, so
+                # nothing drains the queue: a submit() racing the trip
+                # (wedged checked False, then put) would otherwise hang
+                # to its full RPC deadline — exactly the failure the
+                # watchdog exists to prevent. Fail those here.
+                self._drain_and_fail()
                 continue
-            overdue = time.monotonic() - started - self.watchdog_s
+            op = self._op
+            if op is None:
+                continue
+            desc, started = op
+            threshold = self._threshold()
+            overdue = time.monotonic() - started - threshold
             if overdue > 0:
-                self._trip(f"{self._op_desc} (in flight "
-                           f"{self.watchdog_s + overdue:.0f}s)")
+                self._trip(f"{desc} (in flight "
+                           f"{threshold + overdue:.0f}s)")
+
+    def _drain_and_fail(self):
+        exc = DeviceWedgedError(
+            f"device watchdog tripped: {self.wedged_op}")
+        while True:
+            try:
+                job = self._q.get(block=False)
+            except queue.Empty:
+                return
+            if job is not None:
+                try:
+                    job.future.set_exception(exc)
+                except Exception:  # noqa: BLE001
+                    pass
 
     def _trip(self, op: str):
-        """Terminal: the dispatcher thread is stuck inside an XLA call we
-        cannot interrupt. Fail everything waiting so clients see
-        UNAVAILABLE now instead of hanging to their RPC deadlines. The
-        pending/active lists normally belong to the dispatcher thread —
-        it is wedged, so touching them here is safe; set_exception guards
-        against the (unlikely) unwedge race."""
+        """The dispatcher thread is stuck inside an XLA call we cannot
+        interrupt. Fail everything waiting so clients see UNAVAILABLE now
+        instead of hanging to their RPC deadlines. Not terminal: if the
+        tripped op later completes (false positive — e.g. an unusually
+        long compile), _device_op's finally un-wedges and the server
+        accepts work again. The pending/active lists normally belong to
+        the dispatcher thread — it is wedged, so touching them here is
+        safe; set_exception guards against the (unlikely) unwedge race."""
         self.wedged = True
         self.wedged_op = op
         logger.error("DEVICE WATCHDOG TRIPPED: %s — failing queued work, "
@@ -405,6 +455,7 @@ class CoalescingDispatcher:
                 with self._device_op("pipeline begin"):
                     b.gen = begin(**merged)
             except Exception as e:  # noqa: BLE001
+                self._executing = None
                 self._fail(b, e)
                 return
             self._active.append(b)

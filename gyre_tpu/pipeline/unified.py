@@ -721,6 +721,20 @@ class UnifiedPipeline:
         layer = clip_layer if clip_layer else None
 
         if prompt_list is not None:
+            # row-alignment contract: the guided split below (and the
+            # pooled SDXL path) slice enc[:batch]/enc[batch:], so a
+            # short prompt list would silently mix positives and
+            # negatives and fail later with a confusing UNet shape error
+            if len(prompt_list) != batch:
+                raise ValueError(
+                    f"prompt list has {len(prompt_list)} entries but "
+                    f"{batch} seeds — per-sample prompts must be "
+                    "row-aligned with seeds")
+            if neg_list is not None and len(neg_list) != batch:
+                raise ValueError(
+                    f"negative prompt list has {len(neg_list)} entries "
+                    f"but {batch} seeds — per-sample negative prompts "
+                    "must be row-aligned with seeds")
             chunks = self.chunk_count(*(list(prompt_list) +
                                         list(neg_list or [])))
             if guided:

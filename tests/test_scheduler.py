@@ -293,6 +293,72 @@ def test_watchdog_quiet_on_healthy_ops():
     assert not d.wedged
     assert out.shape == (1, 1)
     st = d.watchdog_state()
-    assert st == {"wedged": False, "wedged_op": "", "threshold_s": 5.0,
-                  "op_in_flight_s": 0.0, "op": ""}
+    assert st == {"wedged": False, "wedged_op": "", "unwedged_count": 0,
+                  "threshold_s": 5.0, "op_in_flight_s": 0.0, "op": ""}
+    d.stop()
+
+
+def test_watchdog_unwedges_when_tripped_op_completes():
+    """A false trip must not be terminal (ADVICE r4): when the in-flight
+    op eventually completes — a legitimately long first compile, not a
+    dead chip — the dispatcher un-wedges and serves new work again
+    instead of refusing everything until restart."""
+    from gyre_tpu.manager.scheduler import DeviceWedgedError
+
+    pipe = _HangingPipe()
+    d = CoalescingDispatcher(max_batch=4, gather_ms=1.0, watchdog_s=0.2)
+    hung = d.submit(pipe, dict(prompt="a", seeds=[1]), solo=True)
+    assert pipe.entered.wait(timeout=10)
+    with pytest.raises(DeviceWedgedError):
+        hung.result(timeout=30)
+    assert d.wedged
+    pipe.release.set()  # the op completes after the trip
+    deadline = time.monotonic() + 10
+    while d.wedged and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert not d.wedged and d.unwedged_count == 1
+    # recovered: new work is accepted and completes (release is set, so
+    # the pipe returns immediately now)
+    out = d.submit(pipe, dict(prompt="b", seeds=[2]), solo=True) \
+        .result(timeout=30)
+    assert out.shape == (1, 1)
+    assert d.watchdog_state()["unwedged_count"] == 1
+    d.stop()
+
+
+def test_watchdog_drains_queue_while_wedged():
+    """A submit racing the trip (wedged checked False, then put) must not
+    hang to its RPC deadline: the watchdog thread drains and fails queued
+    jobs while the dispatcher is stuck (ADVICE r4 submit race)."""
+    from gyre_tpu.manager.scheduler import DeviceWedgedError
+
+    pipe = _HangingPipe()
+    d = CoalescingDispatcher(max_batch=4, gather_ms=1.0, watchdog_s=0.2)
+    hung = d.submit(pipe, dict(prompt="a", seeds=[1]), solo=True)
+    assert pipe.entered.wait(timeout=10)
+    with pytest.raises(DeviceWedgedError):
+        hung.result(timeout=30)
+    # simulate the race: bypass submit()'s wedged check entirely
+    from gyre_tpu.manager.scheduler import Job
+
+    raced = Job(pipe, dict(prompt="b", seeds=[2]))
+    d._q.put(raced)
+    with pytest.raises(DeviceWedgedError):
+        raced.future.result(timeout=10)
+    pipe.release.set()
+    d.stop()
+
+
+def test_watchdog_first_op_gets_scaled_threshold():
+    """The first device op (the cold serving-program compile — minutes on
+    the remote platform) gets 3x headroom before tripping."""
+    pipe = _HangingPipe()
+    d = CoalescingDispatcher(max_batch=4, gather_ms=1.0, watchdog_s=0.5)
+    fut = d.submit(pipe, dict(prompt="a", seeds=[1]), solo=True)
+    assert pipe.entered.wait(timeout=10)
+    # the ~1s watch tick sees the op past 1x (0.5s) but inside 3x (1.5s)
+    time.sleep(1.25)
+    assert not d.wedged
+    pipe.release.set()
+    assert fut.result(timeout=30).shape == (1, 1)
     d.stop()
