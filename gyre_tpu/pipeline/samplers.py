@@ -324,7 +324,7 @@ def sample_lms(denoise, x, sigmas, noise_fn, p: SamplerParams,
 
 def sample_plms(denoise, x, sigmas, noise_fn, p: SamplerParams,
                 start=0, steps=None, carry=None, return_carry=False, *,
-                order: int = 4):
+                order: int = 4, first: bool | None = None):
     """PLMS (PNDM with skip_prk_steps) in sigma space — what the
     reference actually serves for SAMPLER_DDPM (its DIFFUSERS_SAMPLERS
     maps the enum to PNDMScheduler(skip_prk_steps=True), reference
@@ -335,11 +335,20 @@ def sample_plms(denoise, x, sigmas, noise_fn, p: SamplerParams,
     x' = x - (sigma_i - sigma_{i+1}) * eps_eff (substitute
     x0 = x - sigma*eps into x' = x0 + sigma'*eps). Order ramps 1/2/3/4
     with available history ([1], [3,-1]/2, [23,-16,5]/12,
-    [55,-59,37,-9]/24). First step is plain order-1 (Euler) rather than
-    diffusers' duplicate-timestep corrector — one denoise call per step
-    keeps the chunk program identical in shape to every other sampler
-    (a lax.cond corrector would trace a second UNet into the compiled
-    program); the difference decays after the 4-step warmup."""
+    [55,-59,37,-9]/24).
+
+    The first step is diffusers' duplicate-timestep corrector (its plms
+    timestep list repeats the second timestep): Euler predictor to
+    sigma_1, second eps evaluation there, trapezoid re-step from the
+    ORIGINAL x, with only the predictor's eps entering the AB history.
+    `first` marks the segment that contains global step 0 — it is a
+    STATIC flag (the corrector's two extra denoise calls are traced
+    eagerly, outside the scan, only into the first chunk's program);
+    when None it is inferred from `start` if that is a host int. The
+    next scan step then runs order-2 against the corrector's history,
+    exactly diffusers' counter==2 state."""
+    if first is None:
+        first = isinstance(start, int) and start == 0
     n, idx = _segment(sigmas, start, steps)
 
     def body(state, i):
@@ -358,8 +367,17 @@ def sample_plms(denoise, x, sigmas, noise_fn, p: SamplerParams,
         x = x - (sigma - sigma_next) * eps_eff
         return (x, ets), None
 
-    ets0 = carry[0] if carry is not None and len(tuple(carry)) == 1 else \
-        jnp.zeros((order,) + x.shape, x.dtype)
+    if first and idx.shape[0] > 0:
+        s0, s1 = sigmas[0], sigmas[1]
+        e0 = _to_d(x, s0, denoise(x, s0))
+        x_pred = x - (s0 - s1) * e0                    # Euler predictor
+        e1 = _to_d(x_pred, s1, denoise(x_pred, s1))
+        x = x - (s0 - s1) * 0.5 * (e0 + e1)            # trapezoid corrector
+        ets0 = jnp.zeros((order,) + x.shape, x.dtype).at[0].set(e0)
+        idx = idx[1:]
+    else:
+        ets0 = carry[0] if carry is not None and len(tuple(carry)) == 1 \
+            else jnp.zeros((order,) + x.shape, x.dtype)
     (x, ets), _ = lax.scan(body, (x, ets0), idx)
     return (x, (ets,)) if return_carry else x
 
@@ -836,8 +854,13 @@ def init_carry(name: str, x) -> tuple:
 
 def sample(name: str, denoise, x, sigmas, noise_fn,
            p: SamplerParams | None = None, *, start=0, steps=None,
-           carry=None, return_carry=False):
+           carry=None, return_carry=False, first: bool | None = None):
+    """`first` statically marks the segment containing global step 0 for
+    samplers whose warmup differs from their steady state (plms'
+    duplicate-timestep corrector); needed because `start` is traced
+    inside the jitted chunk program and can't be branched on."""
     p = p or SamplerParams()
+    kw = {"first": first} if SAMPLERS[name] is sample_plms else {}
     return SAMPLERS[name](denoise, x, sigmas, noise_fn, p, start=start,
                           steps=steps, carry=carry,
-                          return_carry=return_carry)
+                          return_carry=return_carry, **kw)

@@ -557,3 +557,128 @@ def test_dpm_fast_chunked_equals_oneshot():
         done += seg
     np.testing.assert_allclose(np.asarray(x), np.asarray(one),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_plms_trajectory_matches_pndm_oracle():
+    """SAMPLER_DDPM serves sigma-space PLMS incl. diffusers'
+    duplicate-timestep first-step corrector. Oracle: a faithful numpy
+    implementation of PNDMScheduler(skip_prk_steps=True) step_plms —
+    the exact published equations (timestep duplication, counter-gated
+    ets history, _get_prev_sample epsilon coefficients) the reference
+    maps the enum to (/root/reference/gyre/pipeline/samplers.py:26).
+    Bridged by x_t = sqrt(acp_t) * x_sigma on the same leading grid;
+    compared over all but the final step (endpoint semantics differ:
+    diffusers stops at final_alpha_cumprod, we denoise to x0)."""
+    import jax.numpy as jnp
+
+    from gyre_tpu.pipeline import samplers as S
+    from gyre_tpu.pipeline import schedule as sched
+    from gyre_tpu.utils import rng
+
+    steps = 12
+    n_train = 1000
+    betas = np.linspace(0.00085 ** 0.5, 0.012 ** 0.5, n_train,
+                        dtype=np.float64) ** 2
+    acp = np.cumprod(1.0 - betas)
+    ratio = n_train // steps
+    ts_asc = (np.arange(steps) * ratio).round().astype(int) + 1
+    # skip_prk plms timesteps: duplicate the second-from-last ascending
+    # entry, then reverse (scheduling_pndm.set_timesteps)
+    ts = np.concatenate([ts_asc[:-1], ts_asc[-2:-1], ts_asc[-1:]])[::-1]
+
+    sig = np.asarray(sched.build_sigmas(
+        sched.scaled_linear_schedule(), steps, spacing="leading"),
+        np.float64)
+    np.testing.assert_allclose(
+        sig[:-1], np.sqrt((1 - acp[ts_asc[::-1]]) / acp[ts_asc[::-1]]),
+        rtol=2e-4, atol=2e-5)
+
+    def prev_sample(sample, t, t_prev, e):
+        a_t = acp[t]
+        a_prev = acp[t_prev] if t_prev >= 0 else acp[0]
+        b_t, b_prev = 1 - a_t, 1 - a_prev
+        coeff = (a_prev / a_t) ** 0.5
+        denom = a_t * b_prev ** 0.5 + (a_t * b_t * a_prev) ** 0.5
+        return coeff * sample - (a_prev - a_t) * e / denom
+
+    x_init = (np.random.RandomState(5).standard_normal((2, 8, 8, 4))
+              .astype(np.float64) * sig[0])
+
+    # ---- numpy PNDM oracle in x_t space, over all but the last step
+    xt = x_init * np.sqrt(acp[ts[0]])
+    ets, cur_sample, counter = [], None, 0
+    for t in ts[:-1]:
+        t = int(t)
+        a = acp[t]
+        x_sigma = xt / np.sqrt(a)
+        sigma = np.sqrt((1 - a) / a)
+        e = (x_sigma - np.asarray(_ideal_x0(x_sigma, sigma))) / sigma
+        t_prev = t - ratio
+        if counter == 1:
+            t_prev, t = t, t + ratio
+        else:
+            ets.append(e)
+        if len(ets) == 1 and counter == 0:
+            cur_sample = xt
+        elif len(ets) == 1 and counter == 1:
+            e = (e + ets[-1]) / 2
+            xt = cur_sample
+        elif len(ets) == 2:
+            e = (3 * ets[-1] - ets[-2]) / 2
+        elif len(ets) == 3:
+            e = (23 * ets[-1] - 16 * ets[-2] + 5 * ets[-3]) / 12
+        else:
+            e = (55 * ets[-1] - 59 * ets[-2] + 37 * ets[-3]
+                 - 9 * ets[-4]) / 24
+        xt = prev_sample(xt, t, t_prev, e)
+        counter += 1
+    # ts[:-1] has steps entries; the last consumed pair ends at ts[-1]
+    expected = xt / np.sqrt(acp[int(ts[-1])])
+
+    keys = rng.keys_for_seeds(np.arange(2))
+
+    def noise_fn(i, tag):
+        return rng.batched_stream_normal(keys, tag, i, (8, 8, 4))
+
+    ours = S.sample("plms", lambda x, s: _ideal_x0(x, s),
+                    jnp.asarray(x_init, jnp.float32),
+                    jnp.asarray(sig, jnp.float32), noise_fn,
+                    S.SamplerParams(), steps=steps - 1)
+    np.testing.assert_allclose(np.asarray(ours), expected, rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_plms_chunked_equals_oneshot():
+    """Chunked dispatch (corrector in the first segment, ets carried)
+    must be bit-close to the single-scan run."""
+    import jax.numpy as jnp
+
+    from gyre_tpu.pipeline import samplers as S
+    from gyre_tpu.pipeline import schedule as sched
+    from gyre_tpu.utils import rng
+
+    steps = 10
+    sig = jnp.asarray(sched.build_sigmas(
+        sched.scaled_linear_schedule(), steps, karras_rho=7.0),
+        jnp.float32)
+    x = (np.random.RandomState(2).standard_normal((2, 8, 8, 4))
+         .astype(np.float32) * float(sig[0]))
+    keys = rng.keys_for_seeds(np.arange(2))
+
+    def noise_fn(i, tag):
+        return rng.batched_stream_normal(keys, tag, i, (8, 8, 4))
+
+    dn = lambda xx, s: _ideal_x0(xx, s)
+    oneshot = S.sample("plms", dn, jnp.asarray(x), sig, noise_fn,
+                       S.SamplerParams())
+    xc = jnp.asarray(x)
+    carry = S.init_carry("plms", xc)
+    done = 0
+    for seg in (3, 4, 3):
+        xc, carry = S.sample("plms", dn, xc, sig, noise_fn,
+                             S.SamplerParams(), start=done, steps=seg,
+                             carry=carry, return_carry=True,
+                             first=done == 0)
+        done += seg
+    np.testing.assert_allclose(np.asarray(xc), np.asarray(oneshot),
+                               rtol=1e-5, atol=1e-5)
