@@ -660,10 +660,47 @@ class EngineManager:
                                   dtype=jnp.float32)
             fn = _jax.jit(lambda p, x: isp.apply(p, x, icfg))
 
+            # inference cap (reference MAX_RES=1280), engine-overridable
+            # (tests exercise the scaled/guided path at toy sizes)
+            MAX_RES = int(spec.params.get("max_res", 1280))
+            MAX_RES = -(-MAX_RES // 32) * 32  # keep a multiple of 32
+
             def run(img):
+                # geometry per the reference inspyrenet_pipeline.py:41-95:
+                # pad top/left to square, cap inference at 1280^2, resize
+                # the mask back, guided-filter refinement when the input
+                # exceeds 2x the inference size, then shrink the mask
                 img = jnp.asarray(img, jnp.float32)
-                alpha = fn(params, img[..., :3])
-                return jnp.concatenate([img[..., :3], alpha], axis=-1)
+                rgb = img[..., :3]
+                b, h, w, _ = rgb.shape
+                if max(h, w) > MAX_RES:
+                    maxdim = max(h, w)
+                    scaled = True
+                    use_gf = MAX_RES / maxdim < 0.5
+                else:
+                    maxdim = max(-(-h // 32) * 32, -(-w // 32) * 32)
+                    scaled = False
+                    use_gf = False
+                ph, pw = maxdim - h, maxdim - w
+                mode = "reflect" if ph < h and pw < w else "edge"
+                sample = jnp.pad(rgb, ((0, 0), (ph, 0), (pw, 0), (0, 0)),
+                                 mode=mode)
+                if scaled:  # square maxdim -> exactly 1280 (mult of 32)
+                    sample = _jax.image.resize(
+                        sample, (b, MAX_RES, MAX_RES, 3), "bilinear")
+                pred = fn(params, sample)
+                if scaled:
+                    pred = _jax.image.resize(
+                        pred, (b, maxdim, maxdim, 1), "bilinear")
+                pred = pred[:, ph:, pw:, :]
+                if use_gf:
+                    from ..ops import images as I
+
+                    gp = jnp.clip(I.guided_filter(rgb, pred, radius=32,
+                                                  eps=1e-6), 0.0, 1.0)
+                    pred = jnp.maximum(gp, pred)
+                pred = jnp.clip((pred - 0.2) / 0.8, 0.0, 1.0)
+                return jnp.concatenate([rgb, pred], axis=-1)
 
             return run
         if kind in ("pose", "openpose", "keypose"):

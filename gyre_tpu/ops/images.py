@@ -348,6 +348,76 @@ def frequency_blend(low_img, high_img, sigma: float = 4.0):
     return jnp.clip(low + high, 0.0, 1.0)
 
 
+def _box_sum_1d(x, radius: int, axis: int):
+    """Windowed sum over [i-r, i+r] with zero padding outside, via a
+    cumulative sum (integral image) — O(1) per pixel, no conv."""
+    n = x.shape[axis]
+    c = jnp.cumsum(x, axis=axis)
+    zero = jnp.zeros_like(jax.lax.slice_in_dim(c, 0, 1, axis=axis))
+    c = jnp.concatenate([zero, c], axis=axis)
+    idx = np.arange(n)
+    hi = np.clip(idx + radius + 1, 0, n)
+    lo = np.clip(idx - radius, 0, n)
+    return jnp.take(c, hi, axis=axis) - jnp.take(c, lo, axis=axis)
+
+
+def box_sum(x, radius: int):
+    """2D windowed sum over a (2r+1)^2 box, zero-padded — the reference's
+    boxfilter2d (gyre/pipeline/hinters/models/boxfilter.py)."""
+    return _box_sum_1d(_box_sum_1d(x, radius, 1), radius, 2)
+
+
+def guided_filter(guide, src, radius: int = 32, eps: float = 1e-6):
+    """He et al. guided filter: edge-aware refinement of `src` by an RGB
+    or grayscale `guide`, both NHWC in 0..1.
+
+    Reference semantics from guidedfilter2d_color/_gray
+    (gyre/pipeline/hinters/models/guided_filter.py:41-176), restructured
+    for TPU: integral-image box sums instead of conv, a batched 3x3
+    linear solve instead of the hand-unrolled adjugate, and f32 instead
+    of the reference's f64 (TPU has no f64 path) — so the default eps is
+    1e-6 rather than 1e-8, below which f32 variance cancellation noise
+    dominates.
+    """
+    guide = jnp.asarray(guide, jnp.float32)
+    src = jnp.asarray(src, jnp.float32)
+    gc = guide.shape[-1]
+    ones = jnp.ones(guide.shape[:3] + (1,), jnp.float32)
+    n = box_sum(ones, radius)
+
+    def mean(x):
+        return box_sum(x, radius) / n
+
+    mean_i = mean(guide)                       # [B,H,W,G]
+    mean_p = mean(src)                         # [B,H,W,C]
+    if gc == 1:
+        cov_ip = mean(guide * src) - mean_i * mean_p
+        var_i = mean(guide * guide) - mean_i * mean_i
+        a = cov_ip / (var_i + eps)             # [B,H,W,C]
+        b = mean_p - a * mean_i
+        return mean(a) * guide + mean(b)
+
+    # color guide: per-pixel 3x3 covariance solve. Outer products are
+    # flattened to trailing channels so the box sums stay 4-D NHWC.
+    sc = src.shape[-1]
+    bhw = guide.shape[:3]
+
+    def mean_outer(x, y):
+        prod = (x[..., :, None] * y[..., None, :]).reshape(
+            bhw + (x.shape[-1] * y.shape[-1],))
+        return mean(prod).reshape(bhw + (x.shape[-1], y.shape[-1]))
+
+    corr_ip = mean_outer(guide, src)           # [B,H,W,3,C]
+    cov_ip = corr_ip - mean_i[..., :, None] * mean_p[..., None, :]
+    corr_ii = mean_outer(guide, guide)         # [B,H,W,3,3]
+    sigma = corr_ii - mean_i[..., :, None] * mean_i[..., None, :]
+    sigma = sigma + eps * jnp.eye(gc, dtype=jnp.float32)
+    a = jnp.linalg.solve(sigma, cov_ip)        # [B,H,W,3,C]
+    b = mean_p - jnp.einsum("bhwgc,bhwg->bhwc", a, mean_i)
+    mean_a = mean(a.reshape(bhw + (gc * sc,))).reshape(a.shape)
+    return (jnp.einsum("bhwgc,bhwg->bhwc", mean_a, guide) + mean(b))
+
+
 def tv_denoise(img, weight: float = 0.1, iterations: int = 16):
     """Chambolle-style total-variation denoise (reference
     gyre/images.py:424-468)."""

@@ -260,3 +260,38 @@ def test_dexined_random_runs():
     img = np.random.default_rng(2).random((1, 32, 32, 3)).astype(np.float32)
     out = np.asarray(hinters.dexined_apply(params, jnp.asarray(img)))
     assert out.shape == (1, 32, 32, 1)
+
+
+def test_bg_removal_large_input_guided_filter():
+    """Reference inspyrenet_pipeline.py:41-95 geometry: inputs above the
+    inference cap are padded square + downscaled for inference, the mask
+    is resized back and guided-filtered against the full-res image when
+    the input exceeds 2x the cap, then shrunk. Exercised at toy scale via
+    the engine-level max_res override (cap 64, input 160 -> scale 0.4)."""
+    from gyre_tpu.manager.manager import EngineManager
+
+    m = EngineManager(
+        [{"id": "gen", "model": "preset/test", "default": True},
+         {"id": "bg", "task": "background_removal",
+          "params": {"max_res": 64}}],
+        compute_dtype=jnp.float32)
+    fn = m.task_pipeline("background_removal", "bg")
+    # sharp bright square on dark ground: the guide for edge alignment
+    img = np.zeros((1, 160, 144, 3), np.float32) + 0.1
+    img[:, 40:120, 30:110] = 0.9
+    out = np.asarray(fn(img))
+    assert out.shape == (1, 160, 144, 4)
+    alpha = out[..., 3]
+    assert np.isfinite(alpha).all()
+    assert alpha.min() >= 0.0 and alpha.max() <= 1.0
+    # guided filtering keeps the alpha locally smooth except at guide
+    # edges: variation inside the flat square stays below the contrast
+    # across its boundary
+    inside = alpha[0, 60:100, 50:90]
+    band_out = alpha[0, 20:36, 50:90]
+    edge_contrast = abs(float(inside.mean()) - float(band_out.mean()))
+    assert float(inside.std()) <= max(0.25, edge_contrast + 0.25)
+    # small inputs take the pad-to-32-multiple path unchanged
+    small = np.random.RandomState(0).rand(1, 60, 44, 3).astype(np.float32)
+    out_small = np.asarray(fn(small))
+    assert out_small.shape == (1, 60, 44, 4)

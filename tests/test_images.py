@@ -111,3 +111,57 @@ def test_shuffle_preserves_statistics():
     out = I.shuffle(img, jax.random.PRNGKey(0))
     assert out.shape == img.shape
     assert abs(float(out.mean()) - float(img.mean())) < 0.05
+
+
+def test_guided_filter_matches_reference_oracle():
+    """guided_filter parity vs the reference torch implementation
+    (gyre/pipeline/hinters/models/guided_filter.py), color + gray."""
+    import importlib.machinery
+    import importlib.util
+    import os
+    import sys
+
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    ref_dir = "/root/reference/gyre/pipeline/hinters/models"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference oracle not available")
+    spec = importlib.machinery.ModuleSpec("gf_oracle", None, is_package=True)
+    spec.submodule_search_locations = [ref_dir]
+    pkg = importlib.util.module_from_spec(spec)
+    sys.modules["gf_oracle"] = pkg
+    for name in ("boxfilter", "guided_filter"):
+        fspec = importlib.util.spec_from_file_location(
+            f"gf_oracle.{name}", os.path.join(ref_dir, f"{name}.py"))
+        m = importlib.util.module_from_spec(fspec)
+        sys.modules[f"gf_oracle.{name}"] = m
+        fspec.loader.exec_module(m)
+    gf = sys.modules["gf_oracle.guided_filter"]
+
+    rs = np.random.RandomState(0)
+    guide = rs.rand(1, 48, 40, 3).astype(np.float32)
+    src = (guide.mean(-1, keepdims=True) > 0.5).astype(np.float32)
+    eps = 1e-4  # above f32 cancellation noise so both impls agree
+    ours = np.asarray(I.guided_filter(guide, src, radius=8, eps=eps))
+    theirs = gf.guidedfilter2d_color(
+        torch.from_numpy(guide.transpose(0, 3, 1, 2)).double(),
+        torch.from_numpy(src.transpose(0, 3, 1, 2)).double(),
+        8, eps).numpy().transpose(0, 2, 3, 1)
+    assert np.abs(ours - theirs).max() < 5e-3
+
+    gray = guide.mean(-1, keepdims=True)
+    ours_g = np.asarray(I.guided_filter(gray, src, radius=8, eps=eps))
+    theirs_g = gf.guidedfilter2d_gray(
+        torch.from_numpy(gray.transpose(0, 3, 1, 2)).double(),
+        torch.from_numpy(src.transpose(0, 3, 1, 2)).double(),
+        8, eps).numpy().transpose(0, 2, 3, 1)
+    assert np.abs(ours_g - theirs_g).max() < 5e-3
+
+
+def test_box_sum_zero_padded_window():
+    x = jnp.ones((1, 5, 5, 1), jnp.float32)
+    out = np.asarray(I.box_sum(x, 1))[0, :, :, 0]
+    assert out[2, 2] == 9.0   # full window
+    assert out[0, 0] == 4.0   # corner: 2x2 window inside
+    assert out[0, 2] == 6.0   # edge: 2x3
