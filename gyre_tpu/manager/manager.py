@@ -318,8 +318,13 @@ class EngineManager:
         base = self.pipeline(engine_id)
         if not loras and not tis:
             return base
+        def _skey(s):  # scalar or per-model dict ('*'/'unet'/'text_encoder')
+            if isinstance(s, dict):
+                return tuple(sorted((k, round(v, 4)) for k, v in s.items()))
+            return round(s, 4)
+
         key = (engine_id,
-               tuple((ck, round(s, 4)) for _, s, ck in (loras or [])),
+               tuple((ck, _skey(s)) for _, s, ck in (loras or [])),
                tuple(ck for _, ck in (tis or [])))
         cached = self._adapted.get(key)
         if cached is not None:
@@ -348,7 +353,7 @@ class EngineManager:
         for state, scale, _ in loras or []:
             unet_p, text_p, n = lora_mod.apply_lora(unet_p, text_p, state,
                                                     scale)
-            logger.info("lora applied to %s: %d modules (scale %.2f)",
+            logger.info("lora applied to %s: %d modules (scale %s)",
                         engine_id, n, scale)
         if tis:
             embeddings = {}

@@ -94,6 +94,23 @@ def init(key, cfg: UNetConfig, dtype=jnp.float32, cond_channels: int = 3) -> Par
     return p
 
 
+def residual_resolutions(cfg: UNetConfig, h: int, w: int):
+    """Spatial dims of each down residual + the mid residual at latent
+    size (h, w) — mirrors the feats list built in apply() (conv_in, then
+    layers_per_block resnets per level, then the stride-2 downsample on
+    all but the last level). Used to pre-resize per-hint masks outside
+    the compiled step (reference resizes per call,
+    gyre/pipeline/unified_pipeline.py:810-830)."""
+    down = [(h, w)]
+    ch, cw = h, w
+    for lvl in range(cfg.levels):
+        down.extend([(ch, cw)] * cfg.layers_per_block)
+        if lvl < cfg.levels - 1:
+            ch, cw = (ch - 1) // 2 + 1, (cw - 1) // 2 + 1
+            down.append((ch, cw))
+    return down, (ch, cw)
+
+
 def embed_condition(params: Params, cond_image: jax.Array) -> jax.Array:
     """cond image [B,H,W,3] (pixel res) -> [B,H/8,W/8,ch0]."""
     ce = params["cond_embed"]

@@ -272,13 +272,25 @@ def _tree_set(tree, path, value):
     return out
 
 
-def apply_lora(unet_params, text_params_list, state: dict, scale: float = 1.0):
+def apply_lora(unet_params, text_params_list, state: dict,
+               scale: float | dict = 1.0):
     """Returns (unet_params', text_params_list') with deltas folded in.
 
     Deltas are computed host-side in f32 and added to the (possibly bf16)
     tree leaves on device; unmodified subtrees are shared, so memory cost
     is only the touched weights.
+
+    `scale` may be a per-model dict keyed '*'/'unet'/'text_encoder'
+    (proto Prompt.parameters.named_weights; reference resolves the same
+    three keys and lets the named entry win,
+    gyre/services/generate.py:835-847 + unified_pipeline.py:2221-2233).
     """
+    if isinstance(scale, dict):
+        wild = scale.get("*", 1.0)
+        scales = {"unet": scale.get("unet", wild),
+                  "text_encoder": scale.get("text_encoder", wild)}
+    else:
+        scales = {"unet": float(scale), "text_encoder": float(scale)}
     groups = group_modules(state)
     new_unet = unet_params
     new_te = list(text_params_list)
@@ -288,6 +300,7 @@ def apply_lora(unet_params, text_params_list, state: dict, scale: float = 1.0):
         if resolved is None:
             continue
         which, path = resolved
+        scale = scales["unet" if which == "unet" else "text_encoder"]
         delta = _rebuild_delta(entry)
         if delta is None:
             continue

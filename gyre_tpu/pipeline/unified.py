@@ -46,7 +46,12 @@ class StaticSpec:
     tiling: tuple        # (tiling_x, tiling_y)
     cfg_parallel: bool = True
     n_controlnets: int = 0
+    # per-controlnet cfg_only flags (priority=hint: residuals reach only
+    # the guided CFG half; reference unified_pipeline.py:996-1015). Static
+    # because it changes which batch rows the controlnet twin runs on.
+    cn_cfg_only: tuple = ()
     has_adapter: bool = False
+    has_adapter_g: bool = False  # cfg_only adapter states (guided half)
     hires: tuple | None = None   # (natural_h, natural_w) latent dims
     graft_cfg: object = None     # top model's UNetConfig (hashable)
     graft_prediction: str = "epsilon"
@@ -399,7 +404,8 @@ class UnifiedPipeline:
                  init_latents, mask_keep, extra_channels,
                  eta=0.0, churn=0.0, churn_tmin=0.0, churn_tmax=0.0,
                  ddim_cutoff=0.0,
-                 controlnets=(), adapter_states=None, graft=None,
+                 controlnets=(), adapter_states=None, adapter_states_g=None,
+                 graft=None,
                  clip_vision=None, clip_target=None, vae_params=None,
                  added_u=None, added_g=None, x_resume=None,
                  step_offset=0, carry_in=None, n_total=None):
@@ -424,18 +430,56 @@ class UnifiedPipeline:
                 1e-3)
 
             base_unet = raw_unet
-            if spec.n_controlnets or spec.has_adapter:
+            if spec.n_controlnets or spec.has_adapter or spec.has_adapter_g:
                 from ..models import controlnet as cn_mod
+
+                # cfg_only residuals need a known uncond/guided row split:
+                # only the fused parallel-CFG layout ([uncond B; guided B])
+                # provides one. The pipeline forces cfg_parallel when any
+                # cfg_only hint is present, so this is the only live path.
+                halves = spec.guided and spec.cfg_parallel
 
                 def base_unet(params, x, t, context, **kw):  # noqa: F811
                     down_res, mid_res = None, None
-                    for cn_params, cond_emb, scale in controlnets:
-                        reps = x.shape[0] // cond_emb.shape[0]
+                    for cn, cfg_only in zip(controlnets, spec.cn_cfg_only):
+                        cond_emb = cn["emb"]
+                        bh = cond_emb.shape[0]
+                        # cfg_only needs exactly [uncond B; guided B] rows;
+                        # packed layouts (hires lo/hi) fall back to both
+                        if cfg_only and halves and x.shape[0] == 2 * bh:
+                            # reference runs the controlnet twin on the
+                            # guided half only and zeroes the uncond half
+                            # (unified_pipeline.py:996-1015) — half the
+                            # controlnet compute, same math
+                            xin, tin = x[bh:], t[bh:]
+                            ctx_in = context[bh:]
+                        else:
+                            cfg_only = False
+                            xin, tin, ctx_in = x, t, context
+                        reps = xin.shape[0] // bh
                         ce = jnp.tile(cond_emb, (reps, 1, 1, 1)).astype(cdt)
-                        d, m = cn_mod.apply(cn_params, unet_cfg,
-                                            x.astype(cdt), t,
-                                            context.astype(cdt), ce,
-                                            conditioning_scale=scale)
+                        d, m = cn_mod.apply(cn["params"], unet_cfg,
+                                            xin.astype(cdt), tin,
+                                            ctx_in.astype(cdt), ce,
+                                            conditioning_scale=cn["scale"])
+                        lw, masks = cn["lw"], cn.get("masks")
+
+                        def post(r, i, n=len(d), _lw=lw, _masks=masks,
+                                 _cfg_only=cfg_only):
+                            # soft_injection logspace layer weights: down
+                            # residual i uses lw[i], mid uses lw[-1]
+                            # (reference zips 13 weights over 12 downs,
+                            # unified_pipeline.py:1044-1052)
+                            r = r * _lw[min(i, n)].astype(r.dtype)
+                            if _masks is not None:
+                                r = r * _masks[i].astype(r.dtype)
+                            if _cfg_only:
+                                r = jnp.concatenate(
+                                    [jnp.zeros_like(r), r], axis=0)
+                            return r
+
+                        d = [post(r, i) for i, r in enumerate(d)]
+                        m = post(m, len(d))
                         down_res = d if down_res is None else \
                             [a + b for a, b in zip(down_res, d)]
                         mid_res = m if mid_res is None else mid_res + m
@@ -443,6 +487,18 @@ class UnifiedPipeline:
                     if spec.has_adapter and adapter_states is not None:
                         ast = [jnp.tile(a, (x.shape[0] // a.shape[0], 1, 1, 1))
                                for a in adapter_states]
+                    if spec.has_adapter_g and adapter_states_g is not None:
+                        # cfg_only adapter features: zeros for the uncond
+                        # rows, features for the guided rows (packed
+                        # layouts fall back to tiling over all rows)
+                        gst = [jnp.concatenate(
+                            [jnp.zeros_like(a), a], axis=0)
+                            if halves and x.shape[0] == 2 * a.shape[0]
+                            else jnp.tile(
+                                a, (x.shape[0] // a.shape[0], 1, 1, 1))
+                            for a in adapter_states_g]
+                        ast = gst if ast is None else \
+                            [a + g for a, g in zip(ast, gst)]
                     return raw_unet(params, x, t, context,
                                     down_residuals=down_res,
                                     mid_residual=mid_res,
@@ -574,7 +630,7 @@ class UnifiedPipeline:
             x0, carry_out = samplers.sample(
                 spec.sampler, dn, x, sigmas, noise_fn, p,
                 start=step_offset, steps=spec.steps, carry=carry_in,
-                return_carry=True)
+                return_carry=True, first=not spec.resume)
             aux = {}
             if (spec.clip_guidance > 0 and clip_vision is not None and
                     not spec.clip_flat and not spec.final_chunk):
@@ -819,13 +875,38 @@ class UnifiedPipeline:
             tiling_xy = (bool(tiling), bool(tiling))
 
         # hint stack: controlnet cond embeddings + t2i adapter states are
-        # x/t-independent -> computed outside the compiled step
+        # x/t-independent -> computed outside the compiled step. Per-hint
+        # priority semantics (reference unified_pipeline.py:2028-2032):
+        #   balanced -> uniform weights, both CFG halves
+        #   prompt   -> soft_injection (logspace per-layer weights)
+        #   hint     -> soft_injection + cfg_only (guided half only)
+        # Per-hint masks are resized to every residual resolution HERE
+        # (x-independent) instead of per-step like the reference.
         controlnets = []
+        cn_cfg_only = []
         adapter_states = None
+        adapter_states_g = None
+
+        def _hint_mask(hint):
+            mk = hint.get("mask")
+            if mk is None:
+                return None
+            mk = jnp.asarray(mk, jnp.float32)
+            if mk.ndim == 3:
+                mk = mk[None]
+            return mk[:1, :, :, :1]  # [1,H,W,1], broadcast over batch
+
+        def _level_masks(mask, resolutions):
+            return tuple(
+                jax.image.resize(mask, (1, rh, rw, 1), "bilinear")
+                for rh, rw in resolutions)
+
         for hint in hints or []:
             img = jnp.asarray(hint["image"], jnp.float32)
             if img.shape[0] != batch:
                 img = jnp.broadcast_to(img, (batch,) + img.shape[1:])
+            soft = bool(hint.get("soft_injection"))
+            cfg_only = bool(hint.get("cfg_only")) and guided
             if hint.get("kind") == "style":
                 # style tokens appended to the cond context (uncond side
                 # zero-padded; reference style-adapter call,
@@ -853,21 +934,58 @@ class UnifiedPipeline:
 
                 emb = cn_mod.embed_condition(hint["params"], img.astype(
                     self.compute_dtype))
-                controlnets.append(
-                    (hint["params"], emb,
-                     jnp.float32(hint.get("scale", 1.0))))
+                down_rs, mid_r = cn_mod.residual_resolutions(
+                    ms.config.unet, lh, lw)
+                # 13 weights for SD's 12 down residuals + mid: logspace
+                # under soft_injection, mid always lands on 1.0
+                # (reference unified_pipeline.py:1044)
+                n_res = len(down_rs)
+                lw_np = (np.logspace(-1, 0, n_res + 1) if soft
+                         else np.ones(n_res + 1))
+                entry = {"params": hint["params"], "emb": emb,
+                         "scale": jnp.float32(hint.get("scale", 1.0)),
+                         "lw": jnp.asarray(lw_np, jnp.float32)}
+                mask = _hint_mask(hint)
+                if mask is not None:
+                    entry["masks"] = _level_masks(mask,
+                                                  down_rs + [mid_r])
+                controlnets.append(entry)
+                cn_cfg_only.append(cfg_only)
             else:
                 from ..models import t2i_adapter as t2i_mod
 
                 feats = t2i_mod.apply(hint["params"],
                                       img.astype(self.compute_dtype))
                 scale = float(hint.get("scale", 1.0))
-                feats = [f * scale for f in feats]
-                if adapter_states is None:
+                # soft_injection layer weights for the 4 adapter levels;
+                # cfg_only additionally drops the first level to 0.25
+                # (reference unified_pipeline.py:905-917)
+                lw_np = np.ones(len(feats))
+                if soft:
+                    lw_np = np.logspace(-0.25, 0, len(feats))
+                    if cfg_only:
+                        lw_np[0] = 0.25
+                feats = [f * (scale * float(lw_np[i]))
+                         for i, f in enumerate(feats)]
+                mask = _hint_mask(hint)
+                if mask is not None:
+                    feats = [f * jax.image.resize(
+                        mask, (1,) + f.shape[1:3] + (1,),
+                        "bilinear").astype(f.dtype) for f in feats]
+                if cfg_only:
+                    adapter_states_g = feats if adapter_states_g is None \
+                        else [a + f for a, f in
+                              zip(adapter_states_g, feats)]
+                elif adapter_states is None:
                     adapter_states = feats
                 else:
                     adapter_states = [a + f for a, f in
                                       zip(adapter_states, feats)]
+
+        # cfg_only residuals split the batch into [uncond; guided] halves,
+        # which only the fused parallel-CFG layout provides -> force it
+        if any(cn_cfg_only) or adapter_states_g is not None:
+            cfg_sequential = False
 
         # hires fix: engage when requested and the target exceeds the
         # model's natural resolution (reference enables past a threshold,
@@ -929,7 +1047,9 @@ class UnifiedPipeline:
             steps=len(sigmas_np) - 1, mode=mode, guided=guided,
             chunks=chunks, tiling=tiling_xy,
             n_controlnets=len(controlnets),
+            cn_cfg_only=tuple(cn_cfg_only),
             has_adapter=adapter_states is not None,
+            has_adapter_g=adapter_states_g is not None,
             hires=hires,
             graft_cfg=graft_cfg,
             graft_prediction=graft_pred,
@@ -990,6 +1110,7 @@ class UnifiedPipeline:
             ddim_cutoff=float(ddim_cutoff),
             controlnets=tuple(controlnets),
             adapter_states=adapter_states,
+            adapter_states_g=adapter_states_g,
             graft=graft_args,
             clip_vision=clip_vision_params,
             clip_target=clip_target,

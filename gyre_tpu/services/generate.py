@@ -129,12 +129,42 @@ def extract_params(request: pb.Request, adjuster=None) -> ExtractedParams:
                 depth = adjust(I.decode_png(art.binary), art)
                 p.depth_map = depth[..., :1]
             elif art.type == pb.ARTIFACT_LORA:
-                p.lora_artifacts.append((art, weight))
+                # per-model weights: '*' from the scalar weight field,
+                # named_weights entries override it (reference
+                # gyre/services/generate.py:835-847)
+                weights = {}
+                if prompt.HasField("parameters"):
+                    if prompt.parameters.HasField("weight"):
+                        weights["*"] = prompt.parameters.weight
+                    for nw in prompt.parameters.named_weights:
+                        weights[nw.name] = nw.weight
+                p.lora_artifacts.append((art, weights or weight))
             elif art.type == pb.ARTIFACT_TOKEN_EMBEDDING:
-                p.ti_artifacts.append(art)
+                # token_overrides rename embedding tokens: named overrides
+                # match original_token, free overrides consume tokens in
+                # order (reference gyre/services/generate.py:857-880)
+                overrides = []
+                if prompt.HasField("parameters"):
+                    overrides = [
+                        (ov.original_token if ov.HasField("original_token")
+                         else None, ov.token)
+                        for ov in prompt.parameters.token_overrides]
+                p.ti_artifacts.append((art, tuple(overrides)))
             elif art.type == pb.ARTIFACT_HINT_IMAGE:
+                # priority -> soft_injection / cfg_only, reference
+                # gyre/services/generate.py:812-819 + the
+                # unified_pipeline.py:2028-2029 mapping
+                priority = "balanced"
+                if prompt.HasField("parameters") and \
+                        prompt.parameters.HasField("hint_priority"):
+                    priority = {
+                        pb.HINT_BALANCED: "balanced",
+                        pb.HINT_PRIORITISE_HINT: "hint",
+                        pb.HINT_PRIORITISE_PROMPT: "prompt",
+                    }[prompt.parameters.hint_priority]
                 p.hint_images.append((art.hint_image_type,
-                                      I.decode_png(art.binary), weight))
+                                      I.decode_png(art.binary), weight,
+                                      priority))
 
     def join(frags):
         return " ".join(t if w == 1.0 else f"({t}:{w:g})" for t, w in frags)
@@ -444,14 +474,35 @@ class GenerationServiceServicer:
                 loras.append((state, weight, art.uuid or art.cache_id or
                               str(hash(art.binary[:256]))))
         tis = []
-        for art in p.ti_artifacts:
+        for art, overrides in p.ti_artifacts:
             state = _artifact_safetensors(art)
-            if state:
-                tis.append((state, art.uuid or art.cache_id or
-                            str(hash(art.binary[:256]))))
+            if not state:
+                continue
+            cache_key = art.uuid or art.cache_id or \
+                str(hash(art.binary[:256]))
+            if overrides:
+                # rename tokens before folding: named overrides match
+                # original_token, free ones consume remaining tokens in
+                # order (reference gyre/services/generate.py:857-880)
+                from ..pipeline.lora import extract_ti_embeddings
+
+                named = {orig: tok for orig, tok in overrides
+                         if orig is not None}
+                free = [tok for orig, tok in overrides if orig is None]
+                renamed = {}
+                for key, tensor in extract_ti_embeddings(state).items():
+                    if key in named:
+                        renamed[named[key]] = tensor
+                    elif free:
+                        renamed[free.pop(0)] = tensor
+                    else:
+                        renamed[key] = tensor
+                state = renamed
+                cache_key = (cache_key, tuple(overrides))
+            tis.append((state, cache_key))
 
         hints = []
-        for hint_type, img, weight in p.hint_images:
+        for hint_type, img, weight, priority in p.hint_images:
             model = self.manager.hint_model(hint_type,
                                             p.engine_id or None)
             if model is None:
@@ -461,7 +512,9 @@ class GenerationServiceServicer:
                 img = np.asarray(I.rescale(
                     jnp.asarray(img), p.height, p.width, fit="cover"))
             hints.append({"params": model["params"], "kind": model["kind"],
-                          "image": img[..., :3], "scale": weight})
+                          "image": img[..., :3], "scale": weight,
+                          "soft_injection": priority != "balanced",
+                          "cfg_only": priority == "hint"})
 
         from concurrent.futures import CancelledError
 

@@ -48,12 +48,20 @@ class StoreHandler(logging.Handler):
         self._lock2 = threading.Lock()
 
     def emit(self, record):
+        # A bad format string must never propagate into the caller (it
+        # would abort the RPC that happened to log); match stdlib handler
+        # behavior and route to handleError instead.
+        try:
+            message = self.format(record)
+        except Exception:
+            self.handleError(record)
+            return
         with self._lock2:
             self.records.append({
                 "time": time.time(),
                 "level": record.levelname,
                 "name": record.name,
-                "message": self.format(record),
+                "message": message,
             })
 
     def tail(self, n: int = 100) -> list[dict]:

@@ -70,6 +70,89 @@ def test_controlnet_conditioning_changes_output(pipe, rng_key):
     np.testing.assert_allclose(z, base, atol=1e-5)
 
 
+def _live_cn(rng_key):
+    """Controlnet params with randomized zero-convs so residuals flow."""
+    cn_params = controlnet.init(rng_key, configs.UNET_TEST)
+    cn_params["cond_embed"]["conv_out"]["w"] = jax.random.normal(
+        rng_key, cn_params["cond_embed"]["conv_out"]["w"].shape) * 0.1
+    cn_params["mid_zero"]["w"] = jax.random.normal(
+        rng_key, cn_params["mid_zero"]["w"].shape) * 0.1
+    cn_params["zero_convs"] = [
+        {"w": jax.random.normal(jax.random.fold_in(rng_key, i),
+                                zc["w"].shape) * 0.1, "b": zc["b"]}
+        for i, zc in enumerate(cn_params["zero_convs"])]
+    return cn_params
+
+
+def test_hint_priority_semantics(pipe, rng_key):
+    """priority=prompt (soft_injection) applies logspace per-layer
+    residual weights; priority=hint additionally confines residuals to
+    the guided CFG half — all three must differ from each other
+    (reference unified_pipeline.py:996-1058, 2028-2029)."""
+    cn_params = _live_cn(rng_key)
+    cond = np.random.RandomState(1).rand(1, 64, 64, 3).astype(np.float32)
+    kw = dict(prompt="a cat", height=64, width=64, steps=2,
+              sampler="k_euler", seeds=[3], guidance_scale=7.5)
+
+    def run(**hint_kw):
+        return np.asarray(pipe(hints=[{"params": cn_params, "image": cond,
+                                       "scale": 1.0, **hint_kw}], **kw))
+
+    balanced = run()
+    soft = run(soft_injection=True)
+    cfg_only = run(soft_injection=True, cfg_only=True)
+    assert np.abs(balanced - soft).max() > 1e-5
+    assert np.abs(soft - cfg_only).max() > 1e-5
+    assert np.abs(balanced - cfg_only).max() > 1e-5
+    for out in (soft, cfg_only):
+        assert np.isfinite(out).all()
+
+
+def test_hint_mask_zero_equals_no_hint(pipe, rng_key):
+    """A zero per-hint mask multiplies every residual level to zero ->
+    identical to running without the hint (reference resizes the mask to
+    each residual resolution, unified_pipeline.py:1020-1042)."""
+    cn_params = _live_cn(rng_key)
+    cond = np.random.RandomState(1).rand(1, 64, 64, 3).astype(np.float32)
+    kw = dict(prompt="a cat", height=64, width=64, steps=2,
+              sampler="k_euler", seeds=[3], guidance_scale=7.5)
+    base = np.asarray(pipe(**kw))
+    zero_mask = np.zeros((1, 8, 8, 1), np.float32)  # latent-res mask
+    masked = np.asarray(pipe(hints=[{
+        "params": cn_params, "image": cond, "scale": 1.0,
+        "mask": zero_mask}], **kw))
+    np.testing.assert_allclose(masked, base, atol=1e-5)
+    # ...and a ones mask is a no-op vs the unmasked hint
+    unmasked = np.asarray(pipe(hints=[{
+        "params": cn_params, "image": cond, "scale": 1.0}], **kw))
+    ones = np.asarray(pipe(hints=[{
+        "params": cn_params, "image": cond, "scale": 1.0,
+        "mask": np.ones((1, 8, 8, 1), np.float32)}], **kw))
+    np.testing.assert_allclose(ones, unmasked, atol=1e-5)
+
+
+def test_t2i_priority_semantics(pipe, rng_key):
+    """T2I adapters honour soft_injection (logspace level weights, first
+    level dropped to 0.25 under cfg_only) and cfg_only (guided half only)
+    — reference unified_pipeline.py:905-917."""
+    ad_params = t2i_adapter.init(rng_key, channels=(32, 64, 128, 128))
+    cond = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+    kw = dict(prompt="a cat", height=64, width=64, steps=2,
+              sampler="k_euler", seeds=[3], guidance_scale=7.5)
+
+    def run(**hint_kw):
+        return np.asarray(pipe(hints=[{"params": ad_params, "image": cond,
+                                       "kind": "t2i", "scale": 1.0,
+                                       **hint_kw}], **kw))
+
+    balanced = run()
+    soft = run(soft_injection=True)
+    cfg_only = run(soft_injection=True, cfg_only=True)
+    assert np.abs(balanced - soft).max() > 1e-4
+    assert np.abs(soft - cfg_only).max() > 1e-4
+    assert np.isfinite(cfg_only).all()
+
+
 def test_style_adapter_hint(pipe, rng_key):
     """Style hint: CLIP-vision tokens -> style tokens appended to the
     cond context."""

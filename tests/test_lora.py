@@ -57,6 +57,39 @@ def test_apply_kohya_lora():
         np.asarray(ms.text_params[0]["blocks"][0]["attn"]["q"]["w"]))
 
 
+def test_named_weights_per_model_scales():
+    """Per-model scale dict: 'unet'/'text_encoder' override '*', the
+    unnamed tower falls back to '*' (reference
+    gyre/services/generate.py:835-847, unified_pipeline.py:2221-2233)."""
+    ms = random_modelset(configs.SD_TEST, seed=0, dtype=jnp.float32)
+    state = _kohya_lora_state()
+
+    def leaves(scale):
+        u, te, n = L.apply_lora(ms.unet_params, ms.text_params, state,
+                                scale=scale)
+        assert n == 2
+        return (np.asarray(u["down"][0]["attns"][0]["blocks"][0]
+                           ["attn1"]["q"]["w"]),
+                np.asarray(te[0]["blocks"][0]["attn"]["q"]["w"]))
+
+    u_half, te_half = leaves(0.5)
+    u_full, te_full = leaves(1.0)
+    # unet scaled 0.5, te scaled 1.0
+    u, te = leaves({"*": 0.5, "text_encoder": 1.0})
+    np.testing.assert_allclose(u, u_half, atol=1e-6)
+    np.testing.assert_allclose(te, te_full, atol=1e-6)
+    # named entry only: the other tower defaults to 1.0
+    u, te = leaves({"unet": 0.5})
+    np.testing.assert_allclose(u, u_half, atol=1e-6)
+    np.testing.assert_allclose(te, te_full, atol=1e-6)
+    # zero on one tower disables just that tower
+    u, te = leaves({"*": 1.0, "unet": 0.0})
+    np.testing.assert_allclose(
+        u, np.asarray(ms.unet_params["down"][0]["attns"][0]["blocks"][0]
+                      ["attn1"]["q"]["w"]), atol=1e-6)
+    np.testing.assert_allclose(te, te_full, atol=1e-6)
+
+
 def test_lora_scale_composes():
     ms = random_modelset(configs.SD_TEST, seed=0, dtype=jnp.float32)
     state = _kohya_lora_state()

@@ -199,6 +199,76 @@ def test_lora_artifact_changes_output(generation):
     assert np.abs(a - b).max() > 1 / 255
 
 
+def test_lora_named_weights_request(generation):
+    """Prompt.parameters.named_weights route per-model LoRA scales: a
+    unet=0 named weight must cancel a unet-only LoRA even when the
+    scalar weight says 1.0 (reference generate.py:835-847)."""
+    from safetensors.numpy import save
+
+    rank, dim = 2, 32
+    rs = np.random.RandomState(0)
+    pre = ("lora_unet_down_blocks_0_attentions_0_transformer_blocks_0"
+           "_attn1_to_q")
+    lora_bytes = save({
+        f"{pre}.lora_down.weight": rs.randn(rank, dim).astype(np.float32),
+        f"{pre}.lora_up.weight": rs.randn(dim, rank).astype(np.float32) * 5,
+    })
+
+    def run(named=None, uuid="nw-lora"):
+        req = _request(steps=2)
+        lp = req.prompt.add()
+        lp.artifact.type = pb.ARTIFACT_LORA
+        lp.artifact.binary = lora_bytes
+        lp.artifact.uuid = uuid
+        lp.parameters.weight = 1.0
+        for name, w in (named or {}).items():
+            nw = lp.parameters.named_weights.add()
+            nw.name, nw.weight = name, w
+        out = list(generation.Generate(req, FakeGrpcContext()))
+        return I.decode_png(out[0].artifacts[0].binary)
+
+    base = list(generation.Generate(_request(steps=2), FakeGrpcContext()))
+    base_img = I.decode_png(base[0].artifacts[0].binary)
+    full = run(uuid="nw-full")
+    zeroed = run(named={"unet": 0.0}, uuid="nw-zero")
+    assert np.abs(full - base_img).max() > 1 / 255       # lora does act
+    np.testing.assert_allclose(zeroed, base_img, atol=2 / 255)  # cancelled
+
+
+def test_ti_token_overrides_request(generation):
+    """token_overrides rename the embedding's trigger token: the override
+    name activates it, the original stops matching (reference
+    generate.py:857-880)."""
+    from gyre_tpu.generated import tensors_pb2 as tpb
+
+    vec = np.random.RandomState(0).randn(1, 64).astype(np.float32) * 4
+
+    def make(prompt, override=None, uuid="ti-ov"):
+        req = _request(prompt=prompt, steps=2)
+        tp = req.prompt.add()
+        tp.artifact.type = pb.ARTIFACT_TOKEN_EMBEDDING
+        tp.artifact.uuid = uuid
+        tp.artifact.token_embedding.text = "<style>"
+        te = tp.artifact.token_embedding.tensor
+        te.dtype = tpb.DT_FLOAT32
+        te.shape.extend(vec.shape)
+        te.data = vec.tobytes()
+        if override:
+            ov = tp.parameters.token_overrides.add()
+            ov.token = override
+        return req
+
+    def img(req):
+        out = list(generation.Generate(req, FakeGrpcContext()))
+        return I.decode_png(out[0].artifacts[0].binary)
+
+    plain = img(make("a <other> painting", uuid="ti-a"))
+    # free override renames <style> -> <other>; now <other> triggers it
+    renamed = img(make("a <other> painting", override="<other>",
+                       uuid="ti-b"))
+    assert np.abs(renamed - plain).max() > 1 / 255
+
+
 def test_ti_artifact_roundtrip(generation):
     req = _request(prompt="a <style> painting", steps=2)
     tp = req.prompt.add()
@@ -226,6 +296,57 @@ def test_hint_image_request(generation):
     hp.parameters.weight = 1.0
     answers = list(generation.Generate(req, FakeGrpcContext()))
     assert answers and answers[0].artifacts[0].type == pb.ARTIFACT_IMAGE
+
+
+def test_hint_priority_request(generation, manager):
+    """Prompt.parameters.hint_priority drives soft_injection/cfg_only
+    through extraction (reference gyre/services/generate.py:812-819)."""
+    import jax
+
+    from gyre_tpu.services.generate import extract_params
+
+    def make(priority=None):
+        req = _request(steps=2)
+        hp = req.prompt.add()
+        hp.artifact.type = pb.ARTIFACT_HINT_IMAGE
+        hp.artifact.hint_image_type = "canny"
+        hint = np.zeros((1, 64, 64, 3), np.float32)
+        hint[:, :, 30:34] = 1.0
+        hp.artifact.binary = I.encode_png(hint)
+        hp.parameters.weight = 1.0
+        if priority is not None:
+            hp.parameters.hint_priority = priority
+        return req
+
+    p = extract_params(make())
+    assert p.hint_images[0][3] == "balanced"
+    p = extract_params(make(pb.HINT_PRIORITISE_PROMPT))
+    assert p.hint_images[0][3] == "prompt"
+    p = extract_params(make(pb.HINT_PRIORITISE_HINT))
+    assert p.hint_images[0][3] == "hint"
+
+    # end-to-end: a prioritised hint produces a different image than a
+    # balanced one (layer-weighted + cfg_only residuals). The fallback
+    # controlnet is zero-conv-initialised (residuals identically zero),
+    # so randomise its output convs in the hintset cache first.
+    model = manager.hint_model("canny", "test-engine")
+    key = jax.random.PRNGKey(7)
+    cn = model["params"]
+    cn["cond_embed"]["conv_out"]["w"] = jax.random.normal(
+        key, cn["cond_embed"]["conv_out"]["w"].shape) * 0.1
+    cn["mid_zero"]["w"] = jax.random.normal(
+        key, cn["mid_zero"]["w"].shape) * 0.1
+    cn["zero_convs"] = [
+        {"w": jax.random.normal(jax.random.fold_in(key, i),
+                                zc["w"].shape) * 0.1, "b": zc["b"]}
+        for i, zc in enumerate(cn["zero_convs"])]
+
+    bal = list(generation.Generate(make(), FakeGrpcContext()))
+    pri = list(generation.Generate(make(pb.HINT_PRIORITISE_HINT),
+                                   FakeGrpcContext()))
+    a = I.decode_png(bal[0].artifacts[0].binary)
+    b = I.decode_png(pri[0].artifacts[0].binary)
+    assert np.abs(a - b).max() > 1 / 255
 
 
 def test_unknown_engine_errors(generation):
