@@ -92,6 +92,7 @@ class Job:
     future: Future = field(default_factory=Future)
     stop_event: object = None
     solo: bool = False           # never coalesce (e.g. safety checks)
+    enqueue_ts: float = 0.0      # submit() time, for queue-wait timing
 
     def rows(self) -> int:
         return len(self.kwargs.get("seeds") or [1])
@@ -195,7 +196,8 @@ class CoalescingDispatcher:
     def submit(self, pipe, kwargs, stop_event=None, solo: bool = False) \
             -> Future:
         self.start()
-        job = Job(pipe, kwargs, stop_event=stop_event, solo=solo)
+        job = Job(pipe, kwargs, stop_event=stop_event, solo=solo,
+                  enqueue_ts=time.monotonic())
         if self.wedged:
             job.future.set_exception(DeviceWedgedError(
                 f"device watchdog tripped: {self.wedged_op} exceeded "
@@ -409,6 +411,15 @@ class CoalescingDispatcher:
             self._start(ready)
 
     def _start(self, b: _Batch):
+        from ..utils.timing import STATS
+
+        now = time.monotonic()
+        for j in b.jobs:
+            if j.enqueue_ts:
+                # submit() -> batch start: gather window + head-of-line
+                # wait behind other batches (serving-overhead profile,
+                # scripts/profile_serving.py)
+                STATS.record("dispatch_queue_wait", now - j.enqueue_ts)
         live = [j for j in b.jobs
                 if not (j.stop_event is not None and j.stop_event.is_set())]
         for j in b.jobs:
@@ -452,7 +463,8 @@ class CoalescingDispatcher:
         begin = getattr(pipe, "begin", None)
         if begin is not None:
             try:
-                with self._device_op("pipeline begin"):
+                with STATS.timer("dispatch_begin"), \
+                        self._device_op("pipeline begin"):
                     b.gen = begin(**merged)
             except Exception as e:  # noqa: BLE001
                 self._executing = None
@@ -511,7 +523,10 @@ class CoalescingDispatcher:
         at chunk granularity)."""
         for b in list(self._active):
             try:
-                with self._device_op("chunk dispatch"):
+                from ..utils.timing import STATS
+
+                with STATS.timer("dispatch_chunk"), \
+                        self._device_op("chunk dispatch"):
                     next(b.gen)
                 self.interleaved_chunks += len(self._active) > 1
             except StopIteration as e:
@@ -529,8 +544,11 @@ class CoalescingDispatcher:
             self._executing = None
 
     def _finish_inner(self, b: _Batch, result_fn):
+        from ..utils.timing import STATS
+
         try:
-            with self._device_op("batch execute + transfer"):
+            with STATS.timer("dispatch_finalize"), \
+                    self._device_op("batch execute + transfer"):
                 result = result_fn()
                 # materialize HERE: device work (including the d2h
                 # transfer) must stay on this thread. Handing a lazy jax

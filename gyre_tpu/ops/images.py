@@ -31,30 +31,69 @@ def decode_png(data: bytes) -> np.ndarray:
     return arr[None]
 
 
-def encode_png(img: np.ndarray, metadata: dict[str, str] | None = None,
-               compress_level: int = 3) -> bytes:
-    """[H,W,C] or [1,H,W,C] float 0..1 -> PNG bytes, with optional tEXt
-    metadata chunks (the reference embeds full request params this way,
-    gyre/services/generate.py:1093-1135). compress_level 3 (vs PIL's
-    default 6) roughly halves host encode time per image for a few
-    percent larger files — PNG encode is serialized host work on the
-    serving path, a measurable slice of merged-batch latency."""
-    from PIL import Image, PngImagePlugin
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib as _zlib
 
+    return (struct.pack(">I", len(data)) + tag + data +
+            struct.pack(">I", _zlib.crc32(tag + data)))
+
+
+def _png_text_chunks(metadata: dict[str, str]) -> bytes:
+    """tEXt for latin-1 payloads, iTXt (UTF-8) otherwise — the same
+    split PIL's PngInfo.add_text makes, so png_metadata/PIL read both."""
+    out = b""
+    for k, v in metadata.items():
+        key = str(k)[:79].encode("latin-1", "replace")
+        try:
+            out += _png_chunk(b"tEXt", key + b"\0" +
+                              str(v).encode("latin-1"))
+        except UnicodeEncodeError:
+            out += _png_chunk(b"iTXt", key + b"\0\0\0\0\0" +
+                              str(v).encode("utf-8"))
+    return out
+
+
+def encode_png(img: np.ndarray, metadata: dict[str, str] | None = None,
+               compress_level: int = 1) -> bytes:
+    """[H,W,C] or [1,H,W,C] float 0..1 (or uint8) -> PNG bytes, with
+    optional tEXt/iTXt metadata chunks (the reference embeds full request
+    params this way, gyre/services/generate.py:1093-1135).
+
+    Direct encoder: filter-0 scanlines + one zlib stream. PNG encode is
+    serialized host work on the serving path (this host serves from ONE
+    CPU core: 8 coalesced clients' encodes ran 713 ms p50 each,
+    scripts/profile_serving.py round 5), and PIL's adaptive row filters
+    cost more than they save at generated-image statistics: measured
+    42 ms vs PIL-level-3's 94 ms per 512x512, with SMALLER output
+    (558 vs 584 KB). compress_level is the zlib level (0 = stored,
+    ~2 ms/image for 787 KB — the intra-datacenter tradeoff)."""
     if img.ndim == 4:
         img = img[0]
-    arr = np.asarray(img)
+    arr = np.ascontiguousarray(img)
     if arr.dtype != np.uint8:   # device-side quantized outputs pass through
         arr = (np.clip(arr, 0, 1) * 255).round().astype(np.uint8)
-    if arr.shape[-1] == 1:
-        arr = arr[..., 0]
-    pil = Image.fromarray(arr)
-    info = PngImagePlugin.PngInfo()
-    for k, v in (metadata or {}).items():
-        info.add_text(k, v)
-    buf = io.BytesIO()
-    pil.save(buf, format="PNG", pnginfo=info, compress_level=compress_level)
-    return buf.getvalue()
+    import struct
+    import zlib as _zlib
+
+    h, w, c = arr.shape
+    color_type = {1: 0, 3: 2, 4: 6}.get(c)
+    if color_type is None:  # exotic channel count: PIL fallback
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG",
+                                  compress_level=max(compress_level, 1))
+        return buf.getvalue()
+    raw = np.empty((h, 1 + w * c), np.uint8)
+    raw[:, 0] = 0               # filter type 0 (None) per scanline
+    raw[:, 1:] = arr.reshape(h, w * c)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_text_chunks(metadata or {})
+            + _png_chunk(b"IDAT", _zlib.compress(raw.tobytes(),
+                                                 compress_level))
+            + _png_chunk(b"IEND", b""))
 
 
 def encode_webp(img: np.ndarray, quality: int = 90) -> bytes:

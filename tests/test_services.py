@@ -460,3 +460,39 @@ def test_prewarm_extra_sizes(manager):
         assert (8, 8) in shapes and (16, 8) in shapes
     finally:
         spec.options = old
+
+
+def test_prewarm_state_surfaced(manager):
+    """/status `prewarm` block: off -> running -> done with duration.
+    bench.py's warmboot phase (and production readiness probes) wait on
+    state == "done" — prewarm pre-executes the serving programs, so
+    "done" means first-request latency is steady-state."""
+    assert manager.prewarm_state == {"state": "off"}
+    manager.prewarm(height=64, width=64, steps=4)
+    st = manager.prewarm_state
+    assert st["state"] == "done"
+    assert st["engine"] == manager.default_engine_id()
+    assert st["seconds"] >= 0.0
+    assert st["sizes"] == [1]
+
+
+def test_dispatcher_phase_timings_recorded(manager):
+    """The dispatcher records its internal phases (queue wait / begin /
+    chunk / finalize) into the /status timing rings — the serving-
+    overhead profile (scripts/profile_serving.py) decomposes the
+    pipeline-vs-serving throughput gap from these."""
+    from gyre_tpu.utils.timing import STATS
+
+    import threading
+
+    pipe = manager.pipeline(manager.default_engine_id())
+    ev = threading.Event()
+    kw = dict(prompt="t", height=64, width=64, steps=4, seeds=[0],
+              sampler="k_euler", guidance_scale=7.5, stop_event=ev,
+              chunk_steps=2, output_dtype="uint8")
+    manager.dispatcher.submit(pipe, kw, ev).result()
+    timings = STATS.summary()
+    for phase in ("dispatch_queue_wait", "dispatch_begin",
+                  "dispatch_chunk", "dispatch_finalize"):
+        assert phase in timings, f"missing {phase}: {sorted(timings)}"
+        assert timings[phase]["count"] >= 1
