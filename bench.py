@@ -159,7 +159,7 @@ def phase_pipeline():
 # ----------------------------------------------------------------- serving
 
 
-def _boot_server(tag: str):
+def _boot_server(tag: str, prewarm: str = "off"):
     """Boot server.py and wait for the default engine to report ready
     (weights resident). Returns (proc, ready_seconds)."""
     cfg = os.path.join(CACHE_PATH, "engines.yaml")
@@ -174,7 +174,7 @@ def _boot_server(tag: str):
          "--grpc_port", str(GRPC_PORT), "--http_port", str(HTTP_PORT),
          "--batch_max", "8", "--nsfw_behaviour", "ignore",
          "--gather_ms", "100",  # burst workload: merge the full client set
-         "--prewarm", "off", "--cache_path", CACHE_PATH],
+         "--prewarm", prewarm, "--cache_path", CACHE_PATH],
         stdout=log, stderr=log, cwd=os.path.dirname(os.path.abspath(__file__)))
     deadline = time.monotonic() + 600
     while time.monotonic() < deadline:
@@ -253,10 +253,10 @@ def phase_serving():
             except Exception as e:  # noqa: BLE001
                 errs.append(str(e))
 
-        def burst(rounds: int) -> float:
+        def burst(rounds: int, n_clients: int = N_CLIENTS) -> float:
             t0 = time.perf_counter()
             threads = [threading.Thread(target=client, args=(c, rounds))
-                       for c in range(N_CLIENTS)]
+                       for c in range(n_clients)]
             for t in threads:
                 t.start()
             for t in threads:
@@ -282,6 +282,22 @@ def phase_serving():
         out["serve_max_merged_requests"] = st.get("max_merged_requests", 0)
         out["serve_batches"] = st.get("batches", 0)
         out["serve_padded_rows"] = st.get("padded_rows", 0)
+
+        # saturated serving: 2x batch_max concurrent clients keeps TWO
+        # merged batches in flight — while batch A's results transfer
+        # and PNG-encode, batch B computes (the dispatcher interleaves
+        # active batches at chunk granularity). Closed-loop 8-client
+        # serving inherently idles the device during each round's
+        # transfer+encode+turnaround tail; a production deployment with
+        # a request backlog sees THIS number.
+        lat.clear()
+        errs.clear()
+        wall = burst(ROUNDS, n_clients=2 * N_CLIENTS)
+        if lat and not errs:
+            lat.sort()
+            out["serve_saturated_img_s"] = round(len(lat) / wall, 4)
+            out["serve_saturated_clients"] = 2 * N_CLIENTS
+            out["serve_saturated_p50_s"] = round(lat[len(lat) // 2], 3)
     finally:
         proc.terminate()
         try:
@@ -338,17 +354,44 @@ def phase_sdxl():
 
 
 def phase_warmboot():
-    proc, ready_s = _boot_server("warm")
+    """Production warm-boot story: boot with --prewarm on against the
+    disk cache phase 2 seeded. Prewarm pre-EXECUTES the serving program,
+    absorbing the terminal-side first-execution cost the disk cache
+    cannot (remote-compile platform: local compile is a staged cache hit
+    but the terminal codegens at first execution — measured round 5,
+    PERFORMANCE.md "Cold start"). Reported separately:
+      warm_boot_ready_s     engines loaded, weights resident
+      warm_prewarm_s        boot-time program pre-execution
+      warm_first_image_s    first request AFTER prewarm — what every
+                            request sees for the deployment's lifetime
+      warm_boot_to_image_s  process start -> first image, end to end
+    """
+    t_boot = time.monotonic()
+    proc, ready_s = _boot_server("warm", prewarm="on")
+    out = {"warm_boot_ready_s": round(ready_s, 2)}
     try:
+        deadline = time.monotonic() + 1800
+        prewarm: dict = {}
+        while time.monotonic() < deadline:
+            if proc.poll() is not None:
+                raise RuntimeError(f"server exited rc={proc.returncode}")
+            prewarm = _status().get("prewarm", {})
+            if prewarm.get("state") in ("done", "failed"):
+                break
+            time.sleep(5.0)
+        out["warm_prewarm_s"] = prewarm.get("seconds", 0.0)
+        if prewarm.get("state") != "done":
+            out["warm_prewarm_error"] = str(prewarm)[:200]
         warm = _one_request(7)
+        out["warm_first_image_s"] = round(warm, 2)
+        out["warm_boot_to_image_s"] = round(time.monotonic() - t_boot, 2)
     finally:
         proc.terminate()
         try:
             proc.wait(timeout=30)
         except subprocess.TimeoutExpired:
             proc.kill()
-    print(json.dumps({"warm_boot_ready_s": round(ready_s, 2),
-                      "warm_first_image_s": round(warm, 2)}))
+    print(json.dumps(out))
 
 
 def _preflight() -> tuple[bool, str]:
@@ -370,14 +413,17 @@ def _preflight() -> tuple[bool, str]:
     last_err = ""
     for attempt in range(3):
         try:
+            # 420s: the first device op in a fresh process measured
+            # 11-257s on the tunneled platform depending on terminal
+            # warmth/contention (round-5 probes) — 240s was a coin flip
             subprocess.run(
                 [sys.executable, "-c",
                  "import jax, jax.numpy as jnp; "
                  "print(float(jnp.ones((4, 4)).sum()))"],
-                capture_output=True, timeout=240, check=True, cwd=repo)
+                capture_output=True, timeout=420, check=True, cwd=repo)
             return True, ""
         except subprocess.TimeoutExpired:
-            last_err = "device preflight timed out (240s)"
+            last_err = "device preflight timed out (420s)"
         except subprocess.CalledProcessError as e:
             last_err = ("device preflight crashed: "
                         + (e.stderr or b"").decode("utf-8", "replace")[-200:])

@@ -258,6 +258,9 @@ class HttpHandler(BaseHTTPRequestHandler):
                 }
             return self._send_json({"engines": self.manager.status(),
                                     "dispatcher": dstats,
+                                    "prewarm": getattr(
+                                        self.manager, "prewarm_state",
+                                        {"state": "off"}),
                                     "timings": STATS.summary()})
         if path in ("/profile/start", "/profile/stop"):
             from ..utils import timing

@@ -140,6 +140,13 @@ class EngineManager:
                                                interleave=interleave,
                                                gather_ms=gather_ms,
                                                watchdog_s=watchdog_s)
+        # /status surface: off -> running -> done|failed. Deployments (and
+        # bench.py's warmboot phase) wait for "done" before treating the
+        # server as steady-state: prewarm pre-EXECUTES each serving
+        # program, absorbing the terminal-side first-execution cost that
+        # the XLA disk cache cannot (remote-compile platforms codegen at
+        # first execution; PERFORMANCE.md "Cold start").
+        self.prewarm_state: dict = {"state": "off"}
 
     # ------------------------------------------------------------ loading
 
@@ -824,6 +831,7 @@ class EngineManager:
         spec = self.spec(eid)
         sampler = (spec.options or {}).get("sampler", "k_dpmpp_2m")
         t0 = _time.time()
+        self.prewarm_state = {"state": "running", "engine": eid}
         pipe = self.pipeline(eid)
         # match the SERVING configuration exactly: the servicer always
         # passes a stop_event, which turns on chunked dispatch (one
@@ -858,6 +866,9 @@ class EngineManager:
                 continue
             skw = dict(kwargs, height=h, width=w)
             _np.asarray(self.dispatcher.submit(pipe, skw, ev).result())
+        self.prewarm_state = {"state": "done", "engine": eid,
+                              "seconds": round(_time.time() - t0, 1),
+                              "sizes": sizes}
         logger.info("prewarm %s (%dx%d steps=%d %s batch=%s extra=%s) "
                     "in %.1fs", eid, width, height, steps, sampler, sizes,
                     extra, _time.time() - t0)

@@ -542,6 +542,8 @@ def main(argv=None):
             try:
                 manager.prewarm(buckets=full)
             except Exception as e:  # noqa: BLE001
+                manager.prewarm_state = {"state": "failed",
+                                         "error": str(e)[:200]}
                 logger.warning("prewarm failed: %s", e)
 
         threading.Thread(target=_prewarm, daemon=True,
