@@ -10,7 +10,9 @@ Examples:
   python client.py "a cat" -i init.png --strength 0.6
   python client.py "a cat" -i init.png -m mask.png
   python client.py "a cat" --lora style.safetensors:0.8
-  python client.py "a cat" --hint depth:depth.png
+  python client.py "a cat" --lora style.safetensors:0.8:0.5   # unet:text
+  python client.py "a cat" --ti embed.safetensors:mytoken
+  python client.py "a cat" --hint depth:depth.png:0.9:prompt
   python client.py "a cat" --async
 """
 
@@ -28,6 +30,14 @@ from gyre_tpu.generated import generation_pb2 as pb
 from gyre_tpu.pipeline.samplers import PROTO_SAMPLERS
 
 SAMPLER_BY_NAME = {v: k for k, v in PROTO_SAMPLERS.items()}
+
+
+def _floatlike(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
 
 
 def build_request(args) -> pb.Request:
@@ -54,25 +64,56 @@ def build_request(args) -> pb.Request:
         with open(args.mask, "rb") as fh:
             p.artifact.binary = fh.read()
     for spec in args.lora or []:
-        path, _, weight = spec.partition(":")
+        # path[:weight] or path:unet_w:text_w — two weights become
+        # named_weights, matching the reference client
+        # (/root/reference/client.py:359-371)
+        parts = spec.split(":")
+        path_parts = []
+        while parts and not _floatlike(parts[0]):
+            path_parts.append(parts.pop(0))
+        path = ":".join(path_parts)
+        weights = [float(w) for w in parts]
         p = req.prompt.add()
         p.artifact.type = pb.ARTIFACT_LORA
         p.artifact.uuid = path
         with open(path, "rb") as fh:
             p.artifact.binary = fh.read()
-        p.parameters.weight = float(weight or 1.0)
+        if len(weights) == 1:
+            p.parameters.weight = weights[0]
+        elif len(weights) >= 2:
+            p.parameters.named_weights.add(name="unet", weight=weights[0])
+            p.parameters.named_weights.add(name="text_encoder",
+                                           weight=weights[1])
     for spec in args.ti or []:
+        # path[:token...] — extra fields rename the embedding's tokens
+        # (reference client ti_to_prompts, /root/reference/client.py:407-413)
+        path, *tokens = spec.split(":")
         p = req.prompt.add()
         p.artifact.type = pb.ARTIFACT_TOKEN_EMBEDDING
-        with open(spec, "rb") as fh:
+        with open(path, "rb") as fh:
             p.artifact.binary = fh.read()
+        for token in tokens:
+            p.parameters.token_overrides.add(token=token)
     for spec in args.hint or []:
-        kind, _, path = spec.partition(":")
+        # kind:path[:weight][:priority] — priority in {balanced, prompt,
+        # hint} maps to HintPriority (reference client parse_hint,
+        # /root/reference/client.py:1286-1306)
+        parts = spec.split(":")
+        priority = None
+        if parts[-1] in ("balanced", "prompt", "hint"):
+            priority = {"balanced": pb.HINT_BALANCED,
+                        "prompt": pb.HINT_PRIORITISE_PROMPT,
+                        "hint": pb.HINT_PRIORITISE_HINT}[parts.pop()]
+        weight = float(parts.pop()) if _floatlike(parts[-1]) else 1.0
+        kind, path = parts[0], ":".join(parts[1:])
         p = req.prompt.add()
         p.artifact.type = pb.ARTIFACT_HINT_IMAGE
         p.artifact.hint_image_type = kind
         with open(path, "rb") as fh:
             p.artifact.binary = fh.read()
+        p.parameters.weight = weight
+        if priority is not None:
+            p.parameters.hint_priority = priority
 
     img = req.image
     img.height = args.height
@@ -138,10 +179,13 @@ def main(argv=None):
     p.add_argument("-i", "--init", default=None)
     p.add_argument("-m", "--mask", default=None)
     p.add_argument("--strength", type=float, default=None)
-    p.add_argument("--lora", action="append")
-    p.add_argument("--ti", action="append")
+    p.add_argument("--lora", action="append",
+                   help="file[:weight] or file:unet_w:text_w")
+    p.add_argument("--ti", action="append",
+                   help="file[:token...] (tokens rename the embedding)")
     p.add_argument("--hint", action="append",
-                   help="type:file, e.g. depth:depth.png")
+                   help="type:file[:weight][:balanced|prompt|hint], "
+                        "e.g. depth:depth.png:0.8:prompt")
     p.add_argument("--hires", action="store_true")
     p.add_argument("--tiling", action="store_true")
     p.add_argument("--async", dest="use_async", action="store_true")

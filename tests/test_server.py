@@ -132,6 +132,50 @@ def test_cli_client_list_engines(server_ports, capsys):
     assert "test-engine" in capsys.readouterr().out
 
 
+def test_client_request_param_syntax(tmp_path):
+    """client.py's reference-parity artifact syntax: LoRA per-model
+    weights (file:unet_w:text_w -> named_weights), TI token overrides
+    (file:token...), hint weight + priority (kind:file[:w][:priority]) —
+    the reference client's parse rules (/root/reference/client.py:359-371,
+    407-413, 1286-1306)."""
+    import argparse
+
+    client_mod = _client_mod()
+    pb = client_mod.pb
+    f = tmp_path / "a.safetensors"
+    f.write_bytes(b"00")
+    ns = argparse.Namespace(
+        engine="e", request_id="", prompt="cat", negative="",
+        init=None, mask=None,
+        lora=[f"{f}:0.8:0.5", f"{f}:0.7"],
+        ti=[f"{f}:tok1:tok2"],
+        hint=[f"depth:{f}:0.9:prompt", f"canny:{f}"],
+        height=512, width=512, steps=5, samples=1, seed=[1],
+        sampler="k_dpmpp_2m", cfg=7.5, eta=None, churn=0.0,
+        karras_rho=0.0, strength=None, hires=False, tiling=False)
+    req = client_mod.build_request(ns)
+
+    loras = [p for p in req.prompt if p.artifact.type == pb.ARTIFACT_LORA]
+    named = [(w.name, round(w.weight, 4))
+             for w in loras[0].parameters.named_weights]
+    assert named == [("unet", 0.8), ("text_encoder", 0.5)]
+    assert abs(loras[1].parameters.weight - 0.7) < 1e-6
+    assert not loras[1].parameters.named_weights
+
+    ti = [p for p in req.prompt
+          if p.artifact.type == pb.ARTIFACT_TOKEN_EMBEDDING][0]
+    assert [o.token for o in ti.parameters.token_overrides] == \
+        ["tok1", "tok2"]
+
+    hints = [p for p in req.prompt
+             if p.artifact.type == pb.ARTIFACT_HINT_IMAGE]
+    assert hints[0].parameters.hint_priority == pb.HINT_PRIORITISE_PROMPT
+    assert abs(hints[0].parameters.weight - 0.9) < 1e-6
+    assert hints[0].artifact.hint_image_type == "depth"
+    assert hints[1].parameters.hint_priority == pb.HINT_BALANCED
+    assert hints[1].parameters.weight == 1.0
+
+
 def test_http_surface(server_ports):
     import json
 
