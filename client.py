@@ -45,16 +45,24 @@ def build_request(args) -> pb.Request:
                      request_id=args.request_id or str(uuid.uuid4()))
     prompt = req.prompt.add()
     prompt.text = args.prompt
+    if args.clip_layer:
+        prompt.parameters.clip_layer = args.clip_layer
     if args.negative:
         neg = req.prompt.add()
         neg.text = args.negative
         neg.parameters.weight = -1.0
 
+    if args.accept_webp:
+        req.accept = "image/webp, image/png"
+
+    init_uuid = None
     if args.init:
         p = req.prompt.add()
         p.parameters.init = True
         p.artifact.type = pb.ARTIFACT_IMAGE
         p.artifact.mime = "image/png"
+        init_uuid = str(uuid.uuid4())
+        p.artifact.uuid = init_uuid
         with open(args.init, "rb") as fh:
             p.artifact.binary = fh.read()
     if args.mask:
@@ -63,6 +71,23 @@ def build_request(args) -> pb.Request:
         p.artifact.mime = "image/png"
         with open(args.mask, "rb") as fh:
             p.artifact.binary = fh.read()
+    elif args.mask_from_image_alpha:
+        # mask = init's alpha, inverted and feathered server-side via an
+        # artifact reference + adjustment chain (reference client
+        # /root/reference/client.py:727-752)
+        if init_uuid is None:
+            raise SystemExit("--mask_from_image_alpha needs --init")
+        p = req.prompt.add()
+        p.artifact.type = pb.ARTIFACT_MASK
+        p.artifact.ref.uuid = init_uuid
+        p.artifact.ref.stage = pb.ARTIFACT_BEFORE_ADJUSTMENTS
+        p.artifact.adjustments.add().channels.MergeFrom(
+            pb.ImageAdjustment_Channels(
+                r=pb.CHANNEL_A, g=pb.CHANNEL_A, b=pb.CHANNEL_A,
+                a=pb.CHANNEL_DISCARD))
+        p.artifact.adjustments.add().invert.SetInParent()
+        p.artifact.adjustments.add().blur.MergeFrom(
+            pb.ImageAdjustment_Gaussian(sigma=32, direction=pb.DIRECTION_UP))
     for spec in args.lora or []:
         # path[:weight] or path:unet_w:text_w — two weights become
         # named_weights, matching the reference client
@@ -130,12 +155,30 @@ def build_request(args) -> pb.Request:
         sp.sampler.eta = args.eta
     if args.churn:
         sp.sampler.churn.churn = args.churn
+        if args.churn_tmin is not None:
+            sp.sampler.churn.churn_tmin = args.churn_tmin
+        if args.churn_tmax is not None:
+            sp.sampler.churn.churn_tmax = args.churn_tmax
     if args.karras_rho:
         sp.sampler.sigma.karras_rho = args.karras_rho
+    if args.sigma_min is not None:
+        sp.sampler.sigma.sigma_min = args.sigma_min
+    if args.sigma_max is not None:
+        sp.sampler.sigma.sigma_max = args.sigma_max
+    if args.noise_type:
+        sp.sampler.noise_type = {
+            "normal": pb.SAMPLER_NOISE_NORMAL,
+            "brownian": pb.SAMPLER_NOISE_BROWNIAN}[args.noise_type]
     if args.strength is not None:
         sp.schedule.start = args.strength
+    if args.guidance:
+        gp = img.parameters.add()
+        gp.guidance.guidance_preset = pb.GUIDANCE_PRESET_SIMPLE
+        gp.guidance.instances.add().guidance_strength = args.guidance
     if args.hires:
         img.hires.enable = True
+        if args.hires_oos_fraction is not None:
+            img.hires.oos_fraction = args.hires_oos_fraction
     if args.tiling:
         img.tiling = True
     return req
@@ -149,6 +192,8 @@ def save_answers(answers, outfile: str) -> int:
                 continue
             name = outfile if count == 0 else \
                 outfile.replace(".png", f"-{count}.png")
+            if art.mime == "image/webp" and name.endswith(".png"):
+                name = name[:-4] + ".webp"
             with open(name, "wb") as fh:
                 fh.write(art.binary)
             flag = " [FLAGGED]" if art.finish_reason == pb.FILTER else ""
@@ -178,7 +223,22 @@ def main(argv=None):
     p.add_argument("--karras_rho", type=float, default=0.0)
     p.add_argument("-i", "--init", default=None)
     p.add_argument("-m", "--mask", default=None)
+    p.add_argument("--mask_from_image_alpha", action="store_true",
+                   help="derive the mask from the init image's alpha")
     p.add_argument("--strength", type=float, default=None)
+    p.add_argument("--guidance", type=float, default=0.0,
+                   help="CLIP guidance strength (0..1)")
+    p.add_argument("--clip_layer", type=int, default=0,
+                   help="clip skip: 1 = final layer, 2 = penultimate, ...")
+    p.add_argument("--noise_type", choices=["normal", "brownian"],
+                   default=None)
+    p.add_argument("--sigma_min", type=float, default=None)
+    p.add_argument("--sigma_max", type=float, default=None)
+    p.add_argument("--churn_tmin", type=float, default=None)
+    p.add_argument("--churn_tmax", type=float, default=None)
+    p.add_argument("--hires_oos_fraction", type=float, default=None)
+    p.add_argument("--accept_webp", action="store_true",
+                   help="ask the server for WebP answers")
     p.add_argument("--lora", action="append",
                    help="file[:weight] or file:unet_w:text_w")
     p.add_argument("--ti", action="append",

@@ -91,6 +91,39 @@ def extract_params(request: pb.Request, adjuster=None) -> ExtractedParams:
             return np.asarray(adjuster(img, chain))
         return img
 
+    def artifact_image(art, stage=pb.ARTIFACT_AFTER_ADJUSTMENTS, depth=0):
+        """Artifact -> decoded image, resolving in-request
+        ArtifactReference chains (uuid/id) at the referenced stage and
+        applying this artifact's own adjustment chain on top — the
+        reference's _image_from_artifact(_reference)
+        (gyre/services/generate.py:476-516). Powers the client's
+        mask-from-init-alpha and hint-from-init idioms, which send a
+        `ref` artifact whose adjustments derive the mask/hint."""
+        if depth > 8:
+            raise ValueError("artifact reference chain too deep (cycle?)")
+        if art.WhichOneof("data") == "ref":
+            want = art.ref.WhichOneof("reference")
+            img = None
+            for other in request.prompt:
+                if other.WhichOneof("prompt") != "artifact":
+                    continue
+                o = other.artifact
+                if (want == "uuid" and o.uuid == art.ref.uuid) or \
+                        (want == "id" and o.id == art.ref.id):
+                    img = artifact_image(o, art.ref.stage, depth + 1)
+                    break
+            if img is None:
+                raise ValueError(
+                    f"artifact reference {art.ref.uuid or art.ref.id!r} "
+                    "matches no artifact in this request")
+        else:
+            img = I.decode_png(art.binary)
+        if stage != pb.ARTIFACT_BEFORE_ADJUSTMENTS:
+            img = adjust(img, art)
+        if stage == pb.ARTIFACT_AFTER_POSTADJUSTMENTS:
+            img = adjust(img, art, post=True)
+        return img
+
     pos, neg = [], []
     for prompt in request.prompt:
         which = prompt.WhichOneof("prompt")
@@ -109,7 +142,7 @@ def extract_params(request: pb.Request, adjuster=None) -> ExtractedParams:
         elif which == "artifact":
             art = prompt.artifact
             if art.type == pb.ARTIFACT_IMAGE:
-                img = adjust(I.decode_png(art.binary), art)
+                img = artifact_image(art)
                 if prompt.HasField("parameters") and \
                         prompt.parameters.init:
                     p.init_image = img[..., :3]
@@ -122,11 +155,10 @@ def extract_params(request: pb.Request, adjuster=None) -> ExtractedParams:
                 if prompt.echo_back:
                     p.echo_artifacts.append(art)
             elif art.type == pb.ARTIFACT_MASK:
-                mask = adjust(I.decode_png(art.binary), art)
-                mask = adjust(mask, art, post=True)
+                mask = artifact_image(art, pb.ARTIFACT_AFTER_POSTADJUSTMENTS)
                 p.mask_image = mask[..., :1]
             elif art.type == pb.ARTIFACT_DEPTH:
-                depth = adjust(I.decode_png(art.binary), art)
+                depth = artifact_image(art)
                 p.depth_map = depth[..., :1]
             elif art.type == pb.ARTIFACT_LORA:
                 # per-model weights: '*' from the scalar weight field,
@@ -163,7 +195,7 @@ def extract_params(request: pb.Request, adjuster=None) -> ExtractedParams:
                         pb.HINT_PRIORITISE_PROMPT: "prompt",
                     }[prompt.parameters.hint_priority]
                 p.hint_images.append((art.hint_image_type,
-                                      I.decode_png(art.binary), weight,
+                                      artifact_image(art), weight,
                                       priority))
 
     def join(frags):
@@ -252,6 +284,32 @@ def fill_seeds(p: ExtractedParams) -> list[int]:
 
 
 # ---------------------------------------------------------------- servicer
+
+
+def negotiate_mime(accept: str) -> str:
+    """Request.accept (HTTP-style media-range list with optional q
+    values) -> the answer mime type. The reference content-negotiates
+    each artifact against ["image/png", "image/webp"] via
+    accept_types.get_best_match (gyre/services/generate.py:64-73);
+    png is served when nothing matches."""
+    if not accept:
+        return "image/png"
+    best, best_q = "image/png", 0.0
+    for part in accept.split(","):
+        fields = part.strip().split(";")
+        media = fields[0].strip().lower()
+        q = 1.0
+        for f in fields[1:]:
+            k, _, v = f.partition("=")
+            if k.strip() == "q":
+                try:
+                    q = float(v)
+                except ValueError:
+                    q = 0.0
+        for cand in ("image/png", "image/webp"):
+            if media in (cand, "image/*", "*/*") and q > best_q:
+                best, best_q = cand, q
+    return best
 
 
 def image_to_artifact(img: np.ndarray, *, index: int, seed: int,
@@ -617,6 +675,7 @@ class GenerationServiceServicer:
                 with STATS.timer("encode"):
                     artifact = image_to_artifact(
                         item, index=index, seed=seed, metadata=md,
+                        mime=negotiate_mime(request.accept),
                         finish_reason=pb.FILTER if nsfw else pb.NULL)
             yield pb.Answer(
                 answer_id=f"{request.request_id}-{index}",

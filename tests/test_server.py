@@ -152,7 +152,11 @@ def test_client_request_param_syntax(tmp_path):
         hint=[f"depth:{f}:0.9:prompt", f"canny:{f}"],
         height=512, width=512, steps=5, samples=1, seed=[1],
         sampler="k_dpmpp_2m", cfg=7.5, eta=None, churn=0.0,
-        karras_rho=0.0, strength=None, hires=False, tiling=False)
+        karras_rho=0.0, strength=None, hires=False, tiling=False,
+        mask_from_image_alpha=False, guidance=0.0, clip_layer=0,
+        noise_type=None, sigma_min=None, sigma_max=None,
+        churn_tmin=None, churn_tmax=None, hires_oos_fraction=None,
+        accept_webp=False)
     req = client_mod.build_request(ns)
 
     loras = [p for p in req.prompt if p.artifact.type == pb.ARTIFACT_LORA]

@@ -285,6 +285,74 @@ def test_ti_artifact_roundtrip(generation):
     assert answers and answers[0].artifacts[0].type == pb.ARTIFACT_IMAGE
 
 
+def test_artifact_ref_mask_from_init_alpha(generation):
+    """A mask artifact can be an ArtifactReference to the init image plus
+    an adjustment chain (channels A->rgb, invert, blur) — the reference
+    client's --mask_from_image_alpha idiom
+    (/root/reference/client.py:727-752, servicer resolution
+    gyre/services/generate.py:476-516)."""
+    from gyre_tpu.services.generate import extract_params
+
+    req = _request(steps=2)
+    init = np.full((1, 64, 64, 4), 0.5, np.float32)
+    init[..., 3] = 1.0
+    init[:, :32, :, 3] = 0.0          # transparent band = regenerate
+    ip = req.prompt.add()
+    ip.parameters.init = True
+    ip.artifact.type = pb.ARTIFACT_IMAGE
+    ip.artifact.uuid = "init-art"
+    ip.artifact.binary = I.encode_png(init)
+    mp = req.prompt.add()
+    mp.artifact.type = pb.ARTIFACT_MASK
+    mp.artifact.ref.uuid = "init-art"
+    mp.artifact.ref.stage = pb.ARTIFACT_BEFORE_ADJUSTMENTS
+    mp.artifact.adjustments.add().channels.MergeFrom(
+        pb.ImageAdjustment_Channels(r=pb.CHANNEL_A, g=pb.CHANNEL_A,
+                                    b=pb.CHANNEL_A, a=pb.CHANNEL_DISCARD))
+    mp.artifact.adjustments.add().invert.SetInParent()
+
+    # the ref resolves even without an adjuster (raw referenced pixels)
+    assert extract_params(req).mask_image is not None
+    # full wire: the servicer's own adjuster runs the chain
+    answers = list(generation.Generate(req, FakeGrpcContext()))
+    assert answers and answers[0].artifacts[0].type == pb.ARTIFACT_IMAGE
+
+
+def test_artifact_ref_unknown_uuid_errors(generation):
+    req = _request(steps=2)
+    mp = req.prompt.add()
+    mp.artifact.type = pb.ARTIFACT_MASK
+    mp.artifact.ref.uuid = "no-such-artifact"
+    ctx = FakeGrpcContext()
+    try:
+        list(generation.Generate(req, ctx))
+        raised = False
+    except Exception:  # noqa: BLE001 — FakeGrpcContext may re-raise
+        raised = True
+    assert raised or ctx.code is not None
+
+
+def test_accept_webp_negotiation(generation):
+    """Request.accept content-negotiates the answer encoding (reference
+    gyre/services/generate.py:64-73)."""
+    from gyre_tpu.services.generate import negotiate_mime
+
+    assert negotiate_mime("") == "image/png"
+    assert negotiate_mime("image/webp") == "image/webp"
+    assert negotiate_mime("image/webp, image/png") == "image/webp"
+    assert negotiate_mime("image/png;q=1.0, image/webp;q=0.5") == \
+        "image/png"
+    assert negotiate_mime("*/*") == "image/png"
+    assert negotiate_mime("application/json") == "image/png"
+
+    req = _request(steps=2)
+    req.accept = "image/webp"
+    answers = list(generation.Generate(req, FakeGrpcContext()))
+    art = answers[0].artifacts[0]
+    assert art.mime == "image/webp"
+    assert art.binary[:4] == b"RIFF"
+
+
 def test_hint_image_request(generation):
     req = _request(steps=2)
     hp = req.prompt.add()
