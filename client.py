@@ -40,6 +40,77 @@ def _floatlike(s: str) -> bool:
         return False
 
 
+def _add_hint_converter(p, hint_type: str, converter, remove_bg: bool):
+    """Append the ImageAdjustment chain that converts a plain image into
+    `hint_type` server-side — the reference client's converter table
+    (/root/reference/client.py:204-299). `converter` is True (default
+    engine) or a specific converter engine id."""
+    adj = p.artifact.adjustments
+    if remove_bg:
+        adj.add().background_removal.mode = pb.SOLID
+    first = len(adj)
+    if "depth" in hint_type:
+        adj.add().depth.SetInParent()
+    elif "canny" in hint_type:
+        a = adj.add().canny_edge
+        a.low_threshold, a.high_threshold = 100, 200
+    elif "hed" in hint_type or "softedge" in hint_type or \
+            "lineart" in hint_type:
+        adj.add().edge_detection.SetInParent()
+    elif "sketch" in hint_type or "scribble" in hint_type:
+        adj.add().edge_detection.SetInParent()
+        adj.add().blur.sigma = 3
+        adj.add().quantize.threshold.append(0.15)
+    elif "segment" in hint_type:
+        adj.add().segmentation.SetInParent()
+    elif "keypose" in hint_type:
+        adj.add().keypose.SetInParent()
+    elif "openpose" in hint_type:
+        adj.add().openpose.SetInParent()
+    elif "normal" in hint_type:
+        adj.add().normal.SetInParent()
+    elif "color" in hint_type:
+        adj.add().palletize.colours = 8
+    elif "shuffle" in hint_type:
+        adj.add().autoscale.mode = pb.RESCALE_COVER
+        adj.add().shuffle.SetInParent()
+    else:
+        raise SystemExit(f"can't convert an image to hint type {hint_type}")
+    if isinstance(converter, str) and len(adj) == first + 1:
+        adj[first].engine_id = converter
+    if remove_bg:
+        bg = adj.add().background_removal
+        bg.mode = pb.ALPHA
+        bg.reapply = True
+
+
+def _parse_hint_spec(spec: str, with_path: bool):
+    """[nobg:]type[:converter_id][:path][:weight][:priority] -> dict.
+    Reference parse_hint (/root/reference/client.py:1275-1316)."""
+    parts = spec.split(":")
+    remove_bg = False
+    if parts and parts[0] == "nobg":
+        parts.pop(0)
+        remove_bg = True
+    priority = None
+    if parts and parts[-1] in ("balanced", "prompt", "hint"):
+        priority = {"balanced": pb.HINT_BALANCED,
+                    "prompt": pb.HINT_PRIORITISE_PROMPT,
+                    "hint": pb.HINT_PRIORITISE_HINT}[parts.pop()]
+    weight = float(parts.pop()) if len(parts) > 1 and _floatlike(parts[-1]) \
+        else 1.0
+    hint_type = parts.pop(0)
+    path = None
+    if with_path:
+        if not parts:
+            raise SystemExit(f"no path in hint spec {spec!r}")
+        path = parts.pop()
+    converter = parts.pop(0) if parts else True
+    return {"hint_type": hint_type, "path": path, "weight": weight,
+            "priority": priority, "converter": converter,
+            "remove_bg": remove_bg}
+
+
 def build_request(args) -> pb.Request:
     req = pb.Request(engine_id=args.engine,
                      request_id=args.request_id or str(uuid.uuid4()))
@@ -139,6 +210,36 @@ def build_request(args) -> pb.Request:
         p.parameters.weight = weight
         if priority is not None:
             p.parameters.hint_priority = priority
+    for spec in args.hint_from_image or []:
+        # [nobg:]type[:converter_id]:path[:weight][:priority] — upload an
+        # ordinary image; the server converts it via an adjustment chain
+        info = _parse_hint_spec(spec, with_path=True)
+        p = req.prompt.add()
+        p.artifact.type = pb.ARTIFACT_HINT_IMAGE
+        p.artifact.hint_image_type = info["hint_type"]
+        with open(info["path"], "rb") as fh:
+            p.artifact.binary = fh.read()
+        _add_hint_converter(p, info["hint_type"], info["converter"],
+                            info["remove_bg"])
+        p.parameters.weight = info["weight"]
+        if info["priority"] is not None:
+            p.parameters.hint_priority = info["priority"]
+    for spec in args.hint_from_init or []:
+        # [nobg:]type[:converter_id][:weight][:priority] — reference the
+        # init image rather than re-uploading it
+        if init_uuid is None:
+            raise SystemExit("--hint_from_init needs --init")
+        info = _parse_hint_spec(spec, with_path=False)
+        p = req.prompt.add()
+        p.artifact.type = pb.ARTIFACT_HINT_IMAGE
+        p.artifact.hint_image_type = info["hint_type"]
+        p.artifact.ref.uuid = init_uuid
+        p.artifact.ref.stage = pb.ARTIFACT_BEFORE_ADJUSTMENTS
+        _add_hint_converter(p, info["hint_type"], info["converter"],
+                            info["remove_bg"])
+        p.parameters.weight = info["weight"]
+        if info["priority"] is not None:
+            p.parameters.hint_priority = info["priority"]
 
     img = req.image
     img.height = args.height
@@ -246,6 +347,13 @@ def main(argv=None):
     p.add_argument("--hint", action="append",
                    help="type:file[:weight][:balanced|prompt|hint], "
                         "e.g. depth:depth.png:0.8:prompt")
+    p.add_argument("--hint_from_image", action="append",
+                   help="[nobg:]type[:converter_id]:file[:weight]"
+                        "[:priority] — server converts the image to the "
+                        "hint type")
+    p.add_argument("--hint_from_init", action="append",
+                   help="[nobg:]type[:converter_id][:weight][:priority] — "
+                        "derive the hint from the init image")
     p.add_argument("--hires", action="store_true")
     p.add_argument("--tiling", action="store_true")
     p.add_argument("--async", dest="use_async", action="store_true")

@@ -49,8 +49,12 @@ def apply_image_adjustment(image: jnp.ndarray, adjustments,
         which = adj.WhichOneof("adjustment")
         if which is None:
             continue
-        img = _APPLIERS[which](img, getattr(adj, which), manager, engine_id,
-                               seed, ctx)
+        # each ImageAdjustment may name its own converter engine
+        # (ImageAdjustment.engine_id, set by e.g. the client's
+        # hint_from_image "type:converter_id:path" syntax); fall back to
+        # the chain-level engine
+        img = _APPLIERS[which](img, getattr(adj, which), manager,
+                               adj.engine_id or engine_id, seed, ctx)
     return img
 
 

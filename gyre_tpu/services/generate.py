@@ -444,10 +444,15 @@ class GenerationServiceServicer:
 
         def adjuster(img, chain):
             # adjustment chains can invoke device models (depth/edge/seg
-            # hinters) — run them on the dispatcher's device thread
+            # hinters) — run them on the dispatcher's device thread.
+            # No chain-level engine filter: passing the GENERATE engine id
+            # here would exclude every configured task engine (they have
+            # different ids), silently degrading model-backed adjustments
+            # to their tensor fallbacks; each ImageAdjustment.engine_id
+            # still selects a specific converter engine when set.
             return self.manager.dispatcher.submit(
                 lambda: adj_mod.apply_image_adjustment(
-                    img, chain, self.manager, request.engine_id or None),
+                    img, chain, self.manager, None),
                 {}, solo=True).result()
 
         from ..utils.timing import STATS

@@ -126,6 +126,30 @@ def test_background_removal_reapply():
             _adj(background_removal={"mode": pb.ALPHA, "reapply": True})])
 
 
+def test_model_backed_adjustment_engine_selection():
+    """Model-backed adjustments pick the default task engine when no
+    engine is named, and ImageAdjustment.engine_id selects a specific
+    converter engine (reference per-adjustment engine_id,
+    e.g. client hint_from_image type:converter_id:path)."""
+    class FakeManager:
+        def task_pipeline(self, task, engine_id=None):
+            if task != "depth":
+                return None
+            if engine_id is None:
+                return lambda img: jnp.zeros_like(img)     # default engine
+            if engine_id == "depth-b":
+                return lambda img: jnp.ones_like(img)      # named engine
+            return None                                     # unknown id
+
+    img = _img()
+    out = apply_image_adjustment(img, [_adj(depth={})], FakeManager(), None)
+    assert float(np.abs(np.asarray(out)).max()) == 0.0
+    named = _adj(depth={})
+    named.engine_id = "depth-b"
+    out = apply_image_adjustment(img, [named], FakeManager(), None)
+    assert float(np.asarray(out).min()) == 1.0
+
+
 def test_adjustments_in_request():
     """Adjustment chain on an init-image artifact runs during extraction."""
     from gyre_tpu.ops import images as I

@@ -156,7 +156,7 @@ def test_client_request_param_syntax(tmp_path):
         mask_from_image_alpha=False, guidance=0.0, clip_layer=0,
         noise_type=None, sigma_min=None, sigma_max=None,
         churn_tmin=None, churn_tmax=None, hires_oos_fraction=None,
-        accept_webp=False)
+        accept_webp=False, hint_from_image=None, hint_from_init=None)
     req = client_mod.build_request(ns)
 
     loras = [p for p in req.prompt if p.artifact.type == pb.ARTIFACT_LORA]
