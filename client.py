@@ -285,6 +285,62 @@ def build_request(args) -> pb.Request:
     return req
 
 
+class GrpcWebChannel:
+    """Minimal gRPC-WEB client channel (unary-unary / unary-stream over
+    HTTP POST) — the reference ships a vendored sonora WebChannel for
+    this (gyre/sonora/client.py); this speaks the same public protocol
+    against the server's /http router. Streams are buffered (like the
+    reference's requests-based client), so mid-stream cancel is gRPC-only.
+    """
+
+    def __init__(self, base_url: str):
+        self.base = base_url.rstrip("/")
+
+    def _post(self, path, request, metadata, timeout):
+        import urllib.request
+
+        from gyre_tpu.http.grpc_web import (TRAILER_FLAG,
+                                            unwrap_message_stream,
+                                            wrap_message)
+
+        req = urllib.request.Request(
+            self.base + path, data=wrap_message(request.SerializeToString()),
+            method="POST")
+        req.add_header("Content-Type", "application/grpc-web+proto")
+        for k, v in metadata or []:
+            req.add_header(k, v)
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            body = resp.read()
+        msgs, status, message = [], 0, ""
+        for flags, data in unwrap_message_stream(body):
+            if flags & TRAILER_FLAG:
+                for line in data.decode("utf-8", "replace").splitlines():
+                    key, _, val = line.partition(":")
+                    if key.strip() == "grpc-status":
+                        status = int(val)
+                    elif key.strip() == "grpc-message":
+                        message = val.strip()
+            else:
+                msgs.append(data)
+        if status:
+            raise RuntimeError(f"grpc-web error {status}: {message}")
+        return msgs
+
+    def unary_unary(self, path, request_serializer=None,
+                    response_deserializer=None):
+        def call(request, timeout=None, metadata=None):
+            msgs = self._post(path, request, metadata, timeout)
+            return response_deserializer(msgs[0])
+        return call
+
+    def unary_stream(self, path, request_serializer=None,
+                     response_deserializer=None):
+        def call(request, timeout=None, metadata=None):
+            for m in self._post(path, request, metadata, timeout):
+                yield response_deserializer(m)
+        return call
+
+
 def save_answers(answers, outfile: str) -> int:
     count = 0
     for answer in answers:
@@ -358,22 +414,31 @@ def main(argv=None):
     p.add_argument("--tiling", action="store_true")
     p.add_argument("--async", dest="use_async", action="store_true")
     p.add_argument("--list-engines", action="store_true")
+    p.add_argument("--list-upscalers", action="store_true")
+    p.add_argument("--grpc_web", action="store_true",
+                   help="connect over gRPC-WEB via the HTTP port "
+                        "(pass --host host:http_port)")
     p.add_argument("--request-id", dest="request_id", default="")
     args = p.parse_args(argv)
 
-    channel = grpc.insecure_channel(
-        args.host, options=[("grpc.max_receive_message_length",
-                             256 * 1024 * 1024)])
+    if args.grpc_web:
+        channel = GrpcWebChannel(f"http://{args.host}")
+    else:
+        channel = grpc.insecure_channel(
+            args.host, options=[("grpc.max_receive_message_length",
+                                 256 * 1024 * 1024)])
     metadata = [("authorization", f"Bearer {args.key}")] if args.key else []
 
-    if args.list_engines:
+    if args.list_engines or args.list_upscalers:
         from gyre_tpu.generated import engines_pb2 as epb
 
         call = channel.unary_unary(
             "/gooseai.EnginesService/ListEngines",
             request_serializer=epb.ListEnginesRequest.SerializeToString,
             response_deserializer=epb.Engines.FromString)
-        for e in call(epb.ListEnginesRequest(), metadata=metadata).engine:
+        lreq = epb.ListEnginesRequest(
+            task_group=epb.UPSCALE if args.list_upscalers else epb.GENERATE)
+        for e in call(lreq, metadata=metadata).engine:
             print(f"{e.id:40s} {e.name} ({'ready' if e.ready else 'down'})")
         return 0
 

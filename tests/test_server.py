@@ -132,6 +132,26 @@ def test_cli_client_list_engines(server_ports, capsys):
     assert "test-engine" in capsys.readouterr().out
 
 
+def test_cli_client_grpc_web_transport(server_ports, tmp_path):
+    """client.py --grpc_web speaks the gRPC-WEB protocol against the
+    HTTP router (reference drives this through its vendored sonora
+    WebChannel, gyre/sonora/client.py)."""
+    client_mod = _client_mod()
+
+    _, http_port = server_ports
+    out = tmp_path / "web.png"
+    rc = client_mod.main([
+        "a web test", "--grpc_web", "--host", f"localhost:{http_port}",
+        "-W", "64", "-H", "64", "--steps", "2", "-S", "5",
+        "-o", str(out)])
+    assert rc == 0
+    assert out.read_bytes()[:4] == b"\x89PNG"
+    # list-engines over grpc-web too
+    rc = client_mod.main(["x", "--grpc_web", "--host",
+                          f"localhost:{http_port}", "--list-engines"])
+    assert rc == 0
+
+
 def test_client_request_param_syntax(tmp_path):
     """client.py's reference-parity artifact syntax: LoRA per-model
     weights (file:unet_w:text_w -> named_weights), TI token overrides
