@@ -473,7 +473,8 @@ def main(argv=None):
     generation = GenerationServiceServicer(manager,
                                            nsfw_behaviour=args.nsfw_behaviour,
                                            batch_max=manager.batch_max,
-                                           debug_recorder=recorder)
+                                           debug_recorder=recorder,
+                                           resource_cache=cache)
     engines = EnginesServiceServicer(manager)
     dashboard = DashboardServiceServicer()
 

@@ -23,7 +23,7 @@ import numpy as np
 from ..generated import generation_pb2 as pb
 from ..ops import images as I
 from ..pipeline.samplers import PROTO_SAMPLERS
-from .exception_to_grpc import exception_to_grpc
+from .exception_to_grpc import CacheKeyError, exception_to_grpc
 
 logger = logging.getLogger(__name__)
 
@@ -393,14 +393,40 @@ class AsyncContext:
 
 class GenerationServiceServicer:
     def __init__(self, manager, nsfw_behaviour: str = "flag",
-                 batch_max: int = 4, debug_recorder=None):
+                 batch_max: int = 4, debug_recorder=None,
+                 resource_cache=None):
         self.manager = manager
         self.nsfw_behaviour = nsfw_behaviour
         self.batch_max = batch_max
         self.debug_recorder = debug_recorder
+        self.resource_cache = resource_cache
         self._async: dict[str, AsyncContext] = {}
         self._async_lock = threading.Lock()
         self._safety = None
+
+    def _artifact_state(self, art) -> dict | None:
+        """Weight-artifact bytes -> state dict, speaking the reference's
+        artifact-cache protocol (gyre/services/generate.py:52-85 + X2
+        'generation:' keyspace): an upload carrying
+        cache_control.cache_id is stored with its max_age TTL, and a
+        later request whose data IS a cache_id fetches it — a miss
+        raises CacheKeyError so the client sees FAILED_PRECONDITION with
+        the key and knows to re-upload."""
+        if art.WhichOneof("data") == "cache_id":
+            if self.resource_cache is None:
+                raise CacheKeyError(art.cache_id)
+            state = self.resource_cache.get("generation:" + art.cache_id)
+            if state is None:
+                raise CacheKeyError(art.cache_id)
+            return state
+        state = _artifact_safetensors(art)
+        if (state and self.resource_cache is not None and
+                art.HasField("cache_control") and
+                art.cache_control.cache_id):
+            self.resource_cache.set(
+                "generation:" + art.cache_control.cache_id, state,
+                ttl=float(art.cache_control.max_age or 3600))
+        return state
 
     def _safety_check(self, images) -> np.ndarray:
         """bool[B] nsfw flags (reference flags but never blacks out,
@@ -532,13 +558,13 @@ class GenerationServiceServicer:
 
         loras = []
         for art, weight in p.lora_artifacts:
-            state = _artifact_safetensors(art)
+            state = self._artifact_state(art)
             if state:
                 loras.append((state, weight, art.uuid or art.cache_id or
                               str(hash(art.binary[:256]))))
         tis = []
         for art, overrides in p.ti_artifacts:
-            state = _artifact_safetensors(art)
+            state = self._artifact_state(art)
             if not state:
                 continue
             cache_key = art.uuid or art.cache_id or \

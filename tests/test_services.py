@@ -285,6 +285,59 @@ def test_ti_artifact_roundtrip(generation):
     assert answers and answers[0].artifacts[0].type == pb.ARTIFACT_IMAGE
 
 
+def test_lora_artifact_cache_protocol(manager):
+    """cache_control.cache_id stores an uploaded LoRA server-side; a
+    later request referencing only the cache_id reuses it bit-for-bit,
+    and a miss maps to FAILED_PRECONDITION naming the key (reference
+    gyre/services/generate.py:1162-1173 + the 'generation:' cache
+    keyspace, gyre/server.py:1025-1036)."""
+    import grpc
+
+    from gyre_tpu.services.generate import GenerationServiceServicer
+    from gyre_tpu.utils.cache import MemoryLRUCache
+    from safetensors.numpy import save
+
+    gen = GenerationServiceServicer(manager, batch_max=2,
+                                    resource_cache=MemoryLRUCache())
+    rank, dim = 2, 32
+    rs = np.random.RandomState(0)
+    pre = ("lora_unet_down_blocks_0_attentions_0_transformer_blocks_0"
+           "_attn1_to_q")
+    lora_bytes = save({
+        f"{pre}.lora_down.weight": rs.randn(rank, dim).astype(np.float32),
+        f"{pre}.lora_up.weight": rs.randn(dim, rank).astype(np.float32) * 5})
+
+    def run(**art_fields):
+        req = _request(steps=2)
+        lp = req.prompt.add()
+        lp.artifact.type = pb.ARTIFACT_LORA
+        lp.artifact.uuid = "cached-lora"
+        for k, v in art_fields.items():
+            if k == "cache_control":
+                lp.artifact.cache_control.cache_id = v
+            else:
+                setattr(lp.artifact, k, v)
+        lp.parameters.weight = 1.0
+        out = list(gen.Generate(req, FakeGrpcContext()))
+        return I.decode_png(out[0].artifacts[0].binary)
+
+    uploaded = run(binary=lora_bytes, cache_control="lora-key-1")
+    reused = run(cache_id="lora-key-1")
+    np.testing.assert_array_equal(uploaded, reused)
+
+    ctx = FakeGrpcContext()
+    req = _request(steps=2)
+    lp = req.prompt.add()
+    lp.artifact.type = pb.ARTIFACT_LORA
+    lp.artifact.cache_id = "expired-key"
+    try:
+        list(gen.Generate(req, ctx))
+    except Exception:  # noqa: BLE001 — FakeGrpcContext.abort raises
+        pass
+    assert ctx.code == grpc.StatusCode.FAILED_PRECONDITION
+    assert "expired-key" in (ctx.details or "")
+
+
 def test_artifact_ref_mask_from_init_alpha(generation):
     """A mask artifact can be an ArtifactReference to the init image plus
     an adjustment chain (channels A->rgb, invert, blur) — the reference
