@@ -172,8 +172,11 @@ def build_request(args) -> pb.Request:
         p = req.prompt.add()
         p.artifact.type = pb.ARTIFACT_LORA
         p.artifact.uuid = path
-        with open(path, "rb") as fh:
-            p.artifact.binary = fh.read()
+        if path.startswith(("http://", "https://", "file:")):
+            p.artifact.url = path   # server-side whitelist-gated fetch
+        else:
+            with open(path, "rb") as fh:
+                p.artifact.binary = fh.read()
         if len(weights) == 1:
             p.parameters.weight = weights[0]
         elif len(weights) >= 2:
@@ -182,12 +185,19 @@ def build_request(args) -> pb.Request:
                                            weight=weights[1])
     for spec in args.ti or []:
         # path[:token...] — extra fields rename the embedding's tokens
-        # (reference client ti_to_prompts, /root/reference/client.py:407-413)
-        path, *tokens = spec.split(":")
+        # (reference client ti_to_prompts, /root/reference/client.py:407-427)
+        parts = spec.split(":")
+        if parts[0] in ("https", "http", "file"):
+            path, tokens = parts[0] + ":" + parts[1], parts[2:]
+        else:
+            path, tokens = parts[0], parts[1:]
         p = req.prompt.add()
         p.artifact.type = pb.ARTIFACT_TOKEN_EMBEDDING
-        with open(path, "rb") as fh:
-            p.artifact.binary = fh.read()
+        if path.startswith(("http://", "https://", "file:")):
+            p.artifact.url = path
+        else:
+            with open(path, "rb") as fh:
+                p.artifact.binary = fh.read()
         for token in tokens:
             p.parameters.token_overrides.add(token=token)
     for spec in args.hint or []:

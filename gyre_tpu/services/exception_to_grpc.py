@@ -21,6 +21,7 @@ from ..manager.scheduler import DeviceWedgedError
 
 DEFAULT_MAP = {
     DeviceWedgedError: grpc.StatusCode.UNAVAILABLE,
+    PermissionError: grpc.StatusCode.PERMISSION_DENIED,  # ResourceError
     NotImplementedError: grpc.StatusCode.UNIMPLEMENTED,
     KeyError: grpc.StatusCode.NOT_FOUND,
     CacheKeyError: lambda e: (grpc.StatusCode.FAILED_PRECONDITION,

@@ -356,21 +356,25 @@ def _artifact_safetensors(art) -> dict | None:
                 _proto_tensor_to_np(art.token_embedding.tensor)}
     if which == "binary" and art.binary:
         try:
-            import tempfile
-
-            from safetensors import safe_open
-
-            out = {}
-            with tempfile.NamedTemporaryFile(suffix=".safetensors") as fh:
-                fh.write(art.binary)
-                fh.flush()
-                with safe_open(fh.name, framework="numpy") as sf:
-                    for k in sf.keys():
-                        out[k] = sf.get_tensor(k)
-            return out
+            return _safetensors_from_bytes(art.binary)
         except Exception:  # noqa: BLE001
             logger.warning("could not parse weight artifact")
     return None
+
+
+def _safetensors_from_bytes(data: bytes) -> dict:
+    import tempfile
+
+    from safetensors import safe_open
+
+    out = {}
+    with tempfile.NamedTemporaryFile(suffix=".safetensors") as fh:
+        fh.write(data)
+        fh.flush()
+        with safe_open(fh.name, framework="numpy") as sf:
+            for k in sf.keys():
+                out[k] = sf.get_tensor(k)
+    return out
 
 
 class AsyncContext:
@@ -412,14 +416,30 @@ class GenerationServiceServicer:
         later request whose data IS a cache_id fetches it — a miss
         raises CacheKeyError so the client sees FAILED_PRECONDITION with
         the key and knows to re-upload."""
-        if art.WhichOneof("data") == "cache_id":
+        which = art.WhichOneof("data")
+        if which == "cache_id":
             if self.resource_cache is None:
                 raise CacheKeyError(art.cache_id)
             state = self.resource_cache.get("generation:" + art.cache_id)
             if state is None:
                 raise CacheKeyError(art.cache_id)
             return state
-        state = _artifact_safetensors(art)
+        if which == "url":
+            # whitelist-gated fetch through the resource provider
+            # (reference X3: file:<prefix>/ mapped paths, civitai/HF
+            # URLs when egress is allowed; reference client sends
+            # `--lora https://...` this way)
+            provider = getattr(self.manager, "resources", None)
+            if provider is None:
+                raise ValueError(
+                    "url artifacts need a resource provider (server "
+                    "--local_resources / --allow_network_resources)")
+            rtype = ("lora" if art.type == pb.ARTIFACT_LORA
+                     else "embedding")
+            state = _safetensors_from_bytes(
+                provider.fetch(art.url, rtype=rtype, fmt="safetensors"))
+        else:
+            state = _artifact_safetensors(art)
         if (state and self.resource_cache is not None and
                 art.HasField("cache_control") and
                 art.cache_control.cache_id):

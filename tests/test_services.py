@@ -338,6 +338,63 @@ def test_lora_artifact_cache_protocol(manager):
     assert "expired-key" in (ctx.details or "")
 
 
+def test_lora_url_artifact_via_resource_provider(manager, tmp_path):
+    """Artifact.url resolves through the whitelist-gated resource
+    provider (file:<prefix>/ mapped roots); a non-whitelisted URL maps
+    to PERMISSION_DENIED (reference X3 resource rules + client
+    `--lora file:...`)."""
+    import grpc
+
+    from gyre_tpu.services.generate import GenerationServiceServicer
+    from gyre_tpu.utils.cache import MemoryLRUCache
+    from gyre_tpu.utils.resources import ResourceProvider
+    from safetensors.numpy import save_file
+
+    rank, dim = 2, 32
+    rs = np.random.RandomState(0)
+    pre = ("lora_unet_down_blocks_0_attentions_0_transformer_blocks_0"
+           "_attn1_to_q")
+    save_file({
+        f"{pre}.lora_down.weight": rs.randn(rank, dim).astype(np.float32),
+        f"{pre}.lora_up.weight": rs.randn(dim, rank).astype(np.float32) * 5},
+        str(tmp_path / "style.safetensors"))
+
+    provider = ResourceProvider(MemoryLRUCache(),
+                                local_roots={"loras": str(tmp_path)})
+    old = getattr(manager, "resources", None)
+    manager.resources = provider
+    try:
+        gen = GenerationServiceServicer(manager, batch_max=2)
+
+        def run(url):
+            req = _request(steps=2)
+            lp = req.prompt.add()
+            lp.artifact.type = pb.ARTIFACT_LORA
+            lp.artifact.uuid = url
+            lp.artifact.url = url
+            lp.parameters.weight = 1.0
+            out = list(gen.Generate(req, FakeGrpcContext()))
+            return I.decode_png(out[0].artifacts[0].binary)
+
+        base = list(gen.Generate(_request(steps=2), FakeGrpcContext()))
+        base_img = I.decode_png(base[0].artifacts[0].binary)
+        url_img = run("file:loras/style.safetensors")
+        assert np.abs(url_img - base_img).max() > 1 / 255
+
+        ctx = FakeGrpcContext()
+        req = _request(steps=2)
+        lp = req.prompt.add()
+        lp.artifact.type = pb.ARTIFACT_LORA
+        lp.artifact.url = "https://example.com/evil.safetensors"
+        try:
+            list(gen.Generate(req, ctx))
+        except Exception:  # noqa: BLE001
+            pass
+        assert ctx.code == grpc.StatusCode.PERMISSION_DENIED
+    finally:
+        manager.resources = old
+
+
 def test_artifact_ref_mask_from_init_alpha(generation):
     """A mask artifact can be an ArtifactReference to the init image plus
     an adjustment chain (channels A->rgb, invert, blur) — the reference
